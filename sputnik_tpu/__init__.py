@@ -1,0 +1,42 @@
+"""sputnik_tpu — a TPU-native sparse linear-algebra framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of Torch-Sputnik
+(CSR SpMM / SDDMM / sparse softmax / transpose, differentiable, with sparse
+linear/attention/transformer modules on top), redesigned TPU-first: static
+padded CSR, precomputed transpose permutations, block-CSR MXU kernels, and a
+shard_map distribution layer the reference never had.
+"""
+
+from . import ops, patterns
+from .blocking import BlockView, EllView
+from .ops import (
+    csr_transpose,
+    left_spmm,
+    sddmm,
+    set_backend,
+    sparse_softmax,
+    spmm,
+    spmm_bias,
+    spmm_bias_relu,
+)
+from .topology import SparseMatrix, SparseTopology, diffsort
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BlockView",
+    "EllView",
+    "SparseMatrix",
+    "SparseTopology",
+    "csr_transpose",
+    "diffsort",
+    "left_spmm",
+    "ops",
+    "patterns",
+    "sddmm",
+    "set_backend",
+    "sparse_softmax",
+    "spmm",
+    "spmm_bias",
+    "spmm_bias_relu",
+]

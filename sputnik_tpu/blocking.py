@@ -1,0 +1,168 @@
+"""Derived TPU-friendly views of a CSR topology.
+
+Two static reformulations are precomputed on the host (numpy) and cached on
+the topology; both are pure index bookkeeping — values flow through them with
+single gathers/scatters that XLA fuses into the surrounding computation.
+
+ELL view
+    Rows padded to a common (lane-aligned) length ``Lpad``; values live in a
+    dense ``[m, Lpad]`` panel. This is the layout of the Pallas sparse-softmax
+    kernel (row-wise reduction with no gather at all) and of row-ragged VPU
+    ops in general.
+
+Block-CSR view (ELL at MXU-tile granularity)
+    The matrix is cut into ``bm x bk`` tiles; tiles containing at least one
+    nonzero are densified and listed per row-block, padded to the max
+    blocks-per-row-block (``max_bpr``). This is the layout of the Pallas
+    SpMM/SDDMM kernels: the "gather" of dense rows happens at *tile*
+    granularity through scalar-prefetched ``index_map``s (grid-level DMA),
+    which is the TPU-native answer to Sputnik's per-row vector gathers
+    (``third_party/sputnik`` CSR kernels — see SURVEY.md §7 "Hard parts" #1).
+
+Padding conventions (shared with ``topology.py``): padded element slots point
+at a dump slot one past the end of the flattened panel, padded block slots
+point at column-block 0 and carry all-zero values, so every consumer drops
+padding structurally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["EllView", "BlockView", "build_ell", "build_blocks"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class EllView:
+    """Row-padded (ELLPACK) view of a CSR topology."""
+
+    m: int
+    l_pad: int                 # padded row length (multiple of `lane`)
+    scatter_idx: np.ndarray    # i32[nnz_pad] -> flat index into m*l_pad (+1 dump)
+    gather_idx: np.ndarray     # i32[nnz_pad] <- flat index to read back
+    cols: np.ndarray           # i32[m, l_pad], padding -> 0
+    mask: np.ndarray           # bool[m, l_pad]
+
+    @property
+    def values_shape(self) -> Tuple[int, int]:
+        return (self.m, self.l_pad)
+
+    @property
+    def dump(self) -> int:
+        return self.m * self.l_pad
+
+
+def build_ell(topo, *, lane: int = 128) -> EllView:
+    nnz, nnz_pad, m = topo.nnz, topo.nnz_pad, topo.m
+    rows = topo.row_ids[:nnz].astype(np.int64)
+    lengths = topo.row_lengths.astype(np.int64)
+    l_pad = _round_up(max(int(lengths.max(initial=0)), 1), lane)
+
+    # Position of each element within its row.
+    pos_in_row = np.arange(nnz, dtype=np.int64) - topo.row_offsets[rows]
+    flat = rows * l_pad + pos_in_row
+    dump = m * l_pad
+
+    scatter_idx = np.full(nnz_pad, dump, dtype=np.int32)
+    scatter_idx[:nnz] = flat
+    gather_idx = np.full(nnz_pad, dump, dtype=np.int32)
+    gather_idx[:nnz] = flat
+
+    cols = np.zeros((m, l_pad), dtype=np.int32)
+    mask = np.zeros((m, l_pad), dtype=bool)
+    cols.reshape(-1)[flat] = topo.column_indices[:nnz]
+    mask.reshape(-1)[flat] = True
+
+    return EllView(m=m, l_pad=int(l_pad), scatter_idx=scatter_idx,
+                   gather_idx=gather_idx, cols=cols, mask=mask)
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockView:
+    """Block-CSR (tile-level ELL) view of a CSR topology."""
+
+    bm: int
+    bk: int
+    mb: int                    # number of row-blocks   (m_pad / bm)
+    kb: int                    # number of col-blocks   (n_pad / bk)
+    max_bpr: int               # padded blocks per row-block
+    num_blocks: int            # real (non-padding) nonzero tiles
+    block_cols: np.ndarray     # i32[mb, max_bpr]; padding -> 0
+    block_valid: np.ndarray    # bool[mb, max_bpr]
+    nblocks: np.ndarray        # i32[mb] real blocks per row-block
+    scatter_idx: np.ndarray    # i32[nnz_pad] -> flat into mb*max_bpr*bm*bk (+1)
+    gather_idx: np.ndarray     # i32[nnz_pad] <- same flat indexing
+    mask: np.ndarray           # bool[mb, max_bpr, bm, bk] real-element mask
+
+    @property
+    def m_pad(self) -> int:
+        return self.mb * self.bm
+
+    @property
+    def n_pad(self) -> int:
+        return self.kb * self.bk
+
+    @property
+    def values_shape(self) -> Tuple[int, int, int, int]:
+        return (self.mb, self.max_bpr, self.bm, self.bk)
+
+    @property
+    def dump(self) -> int:
+        return self.mb * self.max_bpr * self.bm * self.bk
+
+    @property
+    def block_density(self) -> float:
+        """Fraction of tiles that must be touched (compute/traffic ratio
+        vs. a dense matmul) — the roofline input for the Pallas kernels."""
+        return self.num_blocks / max(self.mb * self.kb, 1)
+
+
+def build_blocks(topo, *, bm: int, bk: int) -> BlockView:
+    nnz, nnz_pad = topo.nnz, topo.nnz_pad
+    mb = max(-(-topo.m // bm), 1)
+    kb = max(-(-topo.n // bk), 1)
+
+    rows = topo.row_ids[:nnz].astype(np.int64)
+    cols = topo.column_indices[:nnz].astype(np.int64)
+    rb, cb = rows // bm, cols // bk
+
+    key = rb * kb + cb
+    uniq, inv = np.unique(key, return_inverse=True)  # sorted by (rb, cb)
+    urb = uniq // kb
+    counts = np.bincount(urb, minlength=mb).astype(np.int64)
+    starts = np.zeros(mb + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot_of_uniq = np.arange(len(uniq), dtype=np.int64) - starts[urb]
+    max_bpr = max(int(counts.max(initial=0)), 1)
+
+    block_cols = np.zeros((mb, max_bpr), dtype=np.int32)
+    block_valid = np.zeros((mb, max_bpr), dtype=bool)
+    block_cols[urb, slot_of_uniq] = (uniq % kb).astype(np.int32)
+    block_valid[urb, slot_of_uniq] = True
+
+    slot_e = slot_of_uniq[inv]
+    r_in, c_in = rows % bm, cols % bk
+    flat = ((rb * max_bpr + slot_e) * bm + r_in) * bk + c_in
+    dump = mb * max_bpr * bm * bk
+
+    scatter_idx = np.full(nnz_pad, dump, dtype=np.int32)
+    scatter_idx[:nnz] = flat
+    gather_idx = np.full(nnz_pad, dump, dtype=np.int32)
+    gather_idx[:nnz] = flat
+
+    mask = np.zeros((mb, max_bpr, bm, bk), dtype=bool)
+    mask.reshape(-1)[flat] = True
+
+    return BlockView(
+        bm=bm, bk=bk, mb=int(mb), kb=int(kb), max_bpr=int(max_bpr),
+        num_blocks=int(len(uniq)), block_cols=block_cols,
+        block_valid=block_valid, nblocks=counts.astype(np.int32),
+        scatter_idx=scatter_idx, gather_idx=gather_idx, mask=mask,
+    )

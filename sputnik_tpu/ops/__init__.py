@@ -1,0 +1,23 @@
+from .api import (
+    csr_transpose,
+    get_backend,
+    left_spmm,
+    sddmm,
+    set_backend,
+    sparse_softmax,
+    spmm,
+    spmm_bias,
+    spmm_bias_relu,
+)
+
+__all__ = [
+    "csr_transpose",
+    "get_backend",
+    "left_spmm",
+    "sddmm",
+    "set_backend",
+    "sparse_softmax",
+    "spmm",
+    "spmm_bias",
+    "spmm_bias_relu",
+]

@@ -1,0 +1,123 @@
+"""Sparsity-pattern generators and value initializers for tests/benchmarks.
+
+Capability parity with the reference's fixture generators
+(``tests/connectors.py``, ``tests/initializers.py``): a ``uniform`` connector
+that zeroes a fraction of entries (rounding the surviving nonzero count up to
+a multiple, which the reference uses for CUDA vector-width alignment and we
+keep for TPU lane alignment), plus ``uniform``/``arange`` value initializers.
+Written RNG-first (explicit ``numpy.random.Generator``) instead of the
+reference's global-state classes so tests are deterministic by construction.
+
+Also provides the structured mask builders used by the attention models:
+random uniform masks (``modules/sparse_attention.py:25-36``), causal masks
+(``tests/transformer/driver.py:8-14``), and block-local masks (a TPU-friendly
+structured pattern the block-CSR kernels excel at).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "uniform_mask",
+    "sparsify_uniform",
+    "init_uniform",
+    "init_range",
+    "causal_mask",
+    "local_window_mask",
+    "random_mask_batch",
+]
+
+
+def _rng(seed) -> np.random.Generator:
+    if isinstance(seed, np.random.Generator):
+        return seed
+    return np.random.default_rng(seed)
+
+
+def sparsify_uniform(
+    dense: np.ndarray,
+    sparsity: float,
+    *,
+    round_to: int = 1,
+    seed=0,
+) -> np.ndarray:
+    """Zero a uniform random subset so that ``1 - sparsity`` survives, with
+    the surviving nonzero count rounded *up* to a multiple of ``round_to``."""
+    if not 0.0 <= sparsity < 1.0:
+        raise ValueError("sparsity must be in [0, 1)")
+    dense = np.array(dense, copy=True)
+    if sparsity == 0.0:
+        return dense
+    size = dense.size
+    num_dormant = int(round(sparsity * size))
+    if round_to > 1:
+        nnz = size - num_dormant
+        nnz = (nnz + round_to - 1) // round_to * round_to
+        num_dormant = size - nnz
+    dormant = _rng(seed).choice(size, max(num_dormant, 0), replace=False)
+    flat = dense.reshape(-1)
+    flat[dormant] = 0.0
+    return flat.reshape(dense.shape)
+
+
+def init_uniform(shape, *, low: float = 0.0, high: float = 1.0, seed=0):
+    return _rng(seed).uniform(low, high, size=shape).astype(np.float32)
+
+
+def init_range(shape):
+    """1..N values (offset so nothing is accidentally zero)."""
+    return (np.arange(int(np.prod(shape)), dtype=np.float32) + 1.0).reshape(shape)
+
+
+def uniform_mask(
+    m: int,
+    n: int,
+    *,
+    sparsity: float = 0.9,
+    round_to: int = 4,
+    seed=0,
+) -> np.ndarray:
+    """0/1 mask with ~``(1-sparsity)`` ones, nnz rounded to ``round_to``."""
+    return (
+        sparsify_uniform(np.ones((m, n), np.float32), sparsity,
+                         round_to=round_to, seed=seed)
+        != 0
+    ).astype(np.float32)
+
+
+def causal_mask(s: int, *, band: Optional[int] = None) -> np.ndarray:
+    """Lower-triangular mask; optional banding to ``band`` past diagonals."""
+    mask = np.tril(np.ones((s, s), np.float32))
+    if band is not None:
+        mask *= np.triu(np.ones((s, s), np.float32), -band + 1)
+    return mask
+
+
+def local_window_mask(s: int, window: int) -> np.ndarray:
+    """Symmetric local-attention window (block-structured; MXU-friendly)."""
+    i = np.arange(s)[:, None]
+    j = np.arange(s)[None, :]
+    return (np.abs(i - j) < window).astype(np.float32)
+
+
+def random_mask_batch(
+    b: int,
+    m: int,
+    n: int,
+    *,
+    sparsities: Sequence[float] = (0.2, 0.5),
+    round_to: int = 4,
+    seed=0,
+) -> np.ndarray:
+    """Per-batch-element masks with alternating sparsities — the many-mask
+    scenario of ``tests/test_attention_many_masks.py:29-33``."""
+    rng = _rng(seed)
+    masks = [
+        uniform_mask(m, n, sparsity=sparsities[i % len(sparsities)],
+                     round_to=round_to, seed=rng)
+        for i in range(b)
+    ]
+    return np.stack(masks)

@@ -7,8 +7,15 @@ padded CSR, precomputed transpose permutations, block-CSR MXU kernels, and a
 shard_map distribution layer the reference never had.
 """
 
-from . import ops, patterns
+from . import many_mask, ops, patterns
 from .blocking import BlockView, EllView
+from .many_mask import (
+    ManyMaskTopology,
+    csr_transpose_many_mask,
+    sddmm_many_mask,
+    sparse_softmax_many_mask,
+    spmm_many_mask,
+)
 from .ops import (
     csr_transpose,
     left_spmm,
@@ -26,9 +33,14 @@ __version__ = "0.1.0"
 __all__ = [
     "BlockView",
     "EllView",
+    "ManyMaskTopology",
     "SparseMatrix",
     "SparseTopology",
     "csr_transpose",
+    "csr_transpose_many_mask",
+    "sddmm_many_mask",
+    "sparse_softmax_many_mask",
+    "spmm_many_mask",
     "diffsort",
     "left_spmm",
     "ops",

@@ -7,7 +7,7 @@ padded CSR, precomputed transpose permutations, block-CSR MXU kernels, and a
 shard_map distribution layer the reference never had.
 """
 
-from . import many_mask, ops, patterns
+from . import many_mask, models, ops, patterns
 from .blocking import BlockView, EllView
 from .many_mask import (
     ManyMaskTopology,

@@ -1,0 +1,179 @@
+"""Sparse transformer demo family (the reference's most complete "model").
+
+Capability parity with ``tests/transformer/modules.py``: a transformer whose
+attention scores are sparse under *per-batch-element masks* with differing
+sparsities (the many-mask family), fused QKV projection, MLP, N stacked
+layers, trainable end to end (``tests/transformer/driver.py:4-29``: 6 layers,
+seq 512, hidden 512, 8 heads, causal mask with a fully-masked row).
+
+Fixes over the reference:
+  * the mask -> CSR conversion happens ONCE at construction (a cached
+    ``ManyMaskTopology``), not on every forward (the reference converts per
+    step at ``modules.py:29`` — flagged as the hot spot in SURVEY.md §3.4);
+  * the CSR softmax backward is mathematically correct (the reference's
+    ``CsrSoftmax.backward`` is wrong, ``functions.py:105-115``);
+  * batch-major ``[b, s, h]`` layout throughout (idiomatic for sharding the
+    batch across a device mesh) instead of ``[s, b, h]``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .. import many_mask as mm
+
+__all__ = [
+    "SparseCoreAttention",
+    "SparseSelfAttention",
+    "MLP",
+    "TransformerLayer",
+    "SparseTransformer",
+]
+
+
+class SparseCoreAttention(nn.Module):
+    """SDDMM -> ragged CSR softmax -> SpMM with per-batch masks."""
+
+    mask_topology: mm.ManyMaskTopology
+    num_heads: int
+
+    def __call__(self, q, k, v):
+        """q, k, v: ``[b, s, heads, head_dim]`` -> ``[b, s, h]``."""
+        mt = self.mask_topology
+        b, s, h, hd = q.shape
+        if b != mt.b:
+            raise ValueError(f"batch {b} != mask batch {mt.b}")
+        if s != mt.m:
+            raise ValueError(f"seq {s} != mask rows {mt.m}")
+
+        def fold(x):  # [b, s, h, hd] -> [b*h, s, hd]
+            x = jnp.transpose(x, (0, 2, 1, 3))
+            return x.reshape(b * h, s, hd)
+
+        q3, k3, v3 = fold(q), fold(k), fold(v)
+        scores = mm.sddmm_many_mask(mt, q3, k3) / jnp.sqrt(float(hd))
+        weights = mm.sparse_softmax_many_mask(mt, scores)
+        ctx = mm.spmm_many_mask(mt, weights, v3)          # [b*h, s, hd]
+        ctx = ctx.reshape(b, h, s, hd)
+        return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, h * hd)
+
+
+class SparseSelfAttention(nn.Module):
+    """Fused-QKV self-attention block (``modules.py:83-119``)."""
+
+    mask_topology: mm.ManyMaskTopology
+    hidden_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, hsz = x.shape
+        if hsz != self.hidden_size:
+            raise ValueError(f"hidden {hsz} != {self.hidden_size}")
+        if self.hidden_size % self.num_heads:
+            raise ValueError("hidden_size must divide by num_heads")
+        hd = self.hidden_size // self.num_heads
+
+        qkv = nn.Dense(3 * self.hidden_size, name="query_key_value")(x)
+        qkv = qkv.reshape(b, s, self.num_heads, 3 * hd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        ctx = SparseCoreAttention(
+            mask_topology=self.mask_topology, num_heads=self.num_heads
+        )(q, k, v)
+        return nn.Dense(self.hidden_size, name="dense")(ctx)
+
+
+class MLP(nn.Module):
+    """Two dense projections (``modules.py:121-145``; the reference has no
+    nonlinearity between them — ``activation`` opts one in)."""
+
+    hidden_size: int
+    ffn_hidden_size: int
+    activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.ffn_hidden_size, name="to_4h")(x)
+        if self.activation == "gelu":
+            y = nn.gelu(y)
+        elif self.activation == "relu":
+            y = nn.relu(y)
+        elif self.activation is not None:
+            raise ValueError(f"unknown activation {self.activation}")
+        return nn.Dense(self.hidden_size, name="to_h")(y)
+
+
+class TransformerLayer(nn.Module):
+    """Attention -> MLP. The reference stacks them bare (``modules.py:147-161``);
+    ``use_residual``/``use_layernorm`` opt into the standard pre-LN block."""
+
+    mask_topology: mm.ManyMaskTopology
+    hidden_size: int
+    num_heads: int
+    ffn_hidden_size: int
+    activation: Optional[str] = None
+    use_residual: bool = False
+    use_layernorm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        def maybe_ln(y, name):
+            return nn.LayerNorm(name=name)(y) if self.use_layernorm else y
+
+        attn_in = maybe_ln(x, "ln_attn")
+        attn = SparseSelfAttention(
+            mask_topology=self.mask_topology,
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            name="self_attention",
+        )(attn_in)
+        x = x + attn if self.use_residual else attn
+
+        mlp_in = maybe_ln(x, "ln_mlp")
+        mlp = MLP(
+            hidden_size=self.hidden_size,
+            ffn_hidden_size=self.ffn_hidden_size,
+            activation=self.activation,
+            name="mlp",
+        )(mlp_in)
+        return x + mlp if self.use_residual else mlp
+
+
+class SparseTransformer(nn.Module):
+    """N sparse-attention layers (``modules.py:163-183``)."""
+
+    mask_topology: mm.ManyMaskTopology
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    ffn_hidden_size: int
+    activation: Optional[str] = None
+    use_residual: bool = False
+    use_layernorm: bool = False
+
+    @classmethod
+    def from_masks(cls, masks: np.ndarray, **kwargs) -> "SparseTransformer":
+        """Build with per-batch dense 0/1 masks ``[b, s, s]`` (converted to
+        CSR once, here — not per step)."""
+        return cls(mask_topology=mm.ManyMaskTopology.from_dense_masks(masks),
+                   **kwargs)
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = TransformerLayer(
+                mask_topology=self.mask_topology,
+                hidden_size=self.hidden_size,
+                num_heads=self.num_heads,
+                ffn_hidden_size=self.ffn_hidden_size,
+                activation=self.activation,
+                use_residual=self.use_residual,
+                use_layernorm=self.use_layernorm,
+                name=f"layer_{i}",
+            )(x)
+        return x

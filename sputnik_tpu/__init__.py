@@ -19,6 +19,7 @@ from .many_mask import (
 from .ops import (
     csr_transpose,
     left_spmm,
+    panel,
     sddmm,
     set_backend,
     sparse_softmax,
@@ -26,6 +27,7 @@ from .ops import (
     spmm_bias,
     spmm_bias_relu,
 )
+from .ops.panel_api import PanelSpec
 from .topology import SparseMatrix, SparseTopology, diffsort
 
 __version__ = "0.1.0"
@@ -34,6 +36,8 @@ __all__ = [
     "BlockView",
     "EllView",
     "ManyMaskTopology",
+    "PanelSpec",
+    "panel",
     "SparseMatrix",
     "SparseTopology",
     "csr_transpose",

@@ -123,6 +123,39 @@ class BlockView:
         vs. a dense matmul) — the roofline input for the Pallas kernels."""
         return self.num_blocks / max(self.mb * self.kb, 1)
 
+    def transpose_meta(self):
+        """Transposed block list: for each *column*-block ``j`` of A, the
+        ``(row_block, slot)`` pairs holding a block in column ``j``.
+
+        Returns ``(t_nblocks i32[kb], t_src i32[kb, max_bpc, 2])`` where
+        ``t_src[j, u] = (i, s)`` means panel block ``(i, s)`` sits at block
+        column ``j``; padded slots repeat the last valid pair (or (0, 0)) so
+        a Pallas index_map revisits the previous block and skips the DMA.
+        This is what lets ``A^T @ G`` run straight off the *original* panel —
+        no value permutation, unlike the reference's cuSPARSE CSR->CSC
+        conversion per backward (``src/transpose_cuda.cu:90-99``).
+        """
+        cached = getattr(self, "_transpose_meta_cache", None)
+        if cached is not None:
+            return cached
+        kb, mb, max_bpr = self.kb, self.mb, self.max_bpr
+        pairs = [[] for _ in range(kb)]
+        for i in range(mb):
+            for s in range(int(self.nblocks[i])):
+                pairs[int(self.block_cols[i, s])].append((i, s))
+        max_bpc = max((len(p) for p in pairs), default=1)
+        max_bpc = max(max_bpc, 1)
+        t_nblocks = np.array([len(p) for p in pairs], dtype=np.int32)
+        t_src = np.zeros((kb, max_bpc, 2), dtype=np.int32)
+        for j, p in enumerate(pairs):
+            for u, (i, s) in enumerate(p):
+                t_src[j, u] = (i, s)
+            if 0 < len(p) < max_bpc:
+                t_src[j, len(p):] = t_src[j, len(p) - 1]
+        object.__setattr__(self, "_transpose_meta_cache",
+                           (t_nblocks, t_src))
+        return t_nblocks, t_src
+
 
 def build_blocks(topo, *, bm: int, bk: int) -> BlockView:
     nnz, nnz_pad = topo.nnz, topo.nnz_pad
@@ -146,6 +179,13 @@ def build_blocks(topo, *, bm: int, bk: int) -> BlockView:
     block_valid = np.zeros((mb, max_bpr), dtype=bool)
     block_cols[urb, slot_of_uniq] = (uniq % kb).astype(np.int32)
     block_valid[urb, slot_of_uniq] = True
+    # Padded slots repeat the row-block's last valid column (0 if the row
+    # block is empty): a Pallas index_map that lands on the same block as the
+    # previous grid step skips the DMA entirely, so padding costs no traffic.
+    for i in range(mb):
+        c = int(counts[i])
+        if 0 < c < max_bpr:
+            block_cols[i, c:] = block_cols[i, c - 1]
 
     slot_e = slot_of_uniq[inv]
     r_in, c_in = rows % bm, cols % bk

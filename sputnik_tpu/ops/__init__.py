@@ -1,3 +1,4 @@
+from . import panel_api as panel
 from .api import (
     csr_transpose,
     get_backend,
@@ -14,6 +15,7 @@ __all__ = [
     "csr_transpose",
     "get_backend",
     "left_spmm",
+    "panel",
     "sddmm",
     "set_backend",
     "sparse_softmax",

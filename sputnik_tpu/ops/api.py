@@ -69,12 +69,11 @@ def _use_pallas(topo) -> bool:
     backend = get_backend()
     if backend == "xla":
         return False
+    if backend == "pallas":
+        return True  # forced (off-TPU this runs the kernels interpreted)
     from . import pallas as _pl  # deferred import
 
-    ok = _pl.supported(topo)
-    if backend == "pallas" and not ok:
-        raise ValueError(f"pallas backend unsupported for {topo}")
-    return ok
+    return _pl.supported(topo)
 
 
 # ---------------------------------------------------------------------------
@@ -188,15 +187,22 @@ def _sparse_softmax_bwd(topo, p, g):
 _sparse_softmax.defvjp(_sparse_softmax_fwd, _sparse_softmax_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _spmm_bias_relu(topo, values, dense, bias):
+def _spmm_bias_relu_impl(topo, values, dense, bias):
+    if _use_pallas(topo):
+        from . import pallas as _pl
+
+        return _pl.spmm_bias_relu(topo, values, dense, bias, relu=True)
     pre = _spmm_impl(topo, values, dense) + bias[:, None]
     return jnp.maximum(pre, 0.0)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _spmm_bias_relu(topo, values, dense, bias):
+    return _spmm_bias_relu_impl(topo, values, dense, bias)
+
+
 def _spmm_bias_relu_fwd(topo, values, dense, bias):
-    pre = _spmm_impl(topo, values, dense) + bias[:, None]
-    out = jnp.maximum(pre, 0.0)
+    out = _spmm_bias_relu_impl(topo, values, dense, bias)
     return out, (values, dense, out)
 
 

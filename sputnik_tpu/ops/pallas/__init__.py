@@ -1,18 +1,13 @@
 """Pallas TPU block-CSR kernels (the performance path).
 
-Filled in by ``bsr_spmm.py`` / ``bsr_sddmm.py`` / ``bsr_softmax.py``; this
-module exposes the dispatch surface consumed by ``ops.api``. Until a kernel
-registers itself, ``supported`` gates everything to the XLA oracle path.
+``bsr_spmm.py`` / ``bsr_sddmm.py`` / ``ell_softmax.py`` hold the kernels;
+``dispatch.py`` is the surface consumed by ``ops.api``.
 """
 
 from __future__ import annotations
 
-_AVAILABLE = False
-
 
 def supported(topo) -> bool:
-    if not _AVAILABLE:
-        return False
     from . import dispatch
 
     return dispatch.supported(topo)
@@ -34,3 +29,9 @@ def sparse_softmax(topo, values):
     from . import dispatch
 
     return dispatch.sparse_softmax(topo, values)
+
+
+def spmm_bias_relu(topo, values, dense, bias, *, relu=True):
+    from . import dispatch
+
+    return dispatch.spmm_bias_relu(topo, values, dense, bias, relu=relu)

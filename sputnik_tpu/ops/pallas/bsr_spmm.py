@@ -1,0 +1,203 @@
+"""Block-CSR SpMM Pallas kernel (the TPU answer to ``sputnik::CudaSpmm``,
+``/root/reference/src/spmm_cuda.cu:49``).
+
+Formulation: the sparse operand is held as a block panel
+``values_panel[mb, max_bpr, bm, bk]`` (see ``blocking.BlockView``); the
+kernel's grid walks ``(row_block i, out_tile j, block_slot s)`` with ``s``
+innermost, accumulating ``out[i, j] += A_block[i, s] @ B[block_cols[i, s], j]``
+on the MXU. ``block_cols`` and ``nblocks`` are scalar-prefetched so the dense
+operand's tile DMA is index-driven (grid-level gather — SURVEY.md §7 "Hard
+parts" #1). Padded slots repeat the previous block column, so their DMA is
+elided by the pipeline, and their matmul is predicated off.
+
+The fused bias(+ReLU) epilogue implements the reference's phantom
+``spmm_bias`` op (``tests/test_spmm_bias_relu.py:37``; Sputnik's
+``CudaSpmmBiasRelu``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bsr_spmm_panel", "bsr_spmm"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bm", "bk", "bn", "precision", "epilogue", "interpret", "mb",
+        "max_bpr", "kb",
+    ),
+)
+def bsr_spmm_panel(
+    block_cols,            # i32[mb * max_bpr]  (flattened, scalar prefetch)
+    nblocks,               # i32[mb]
+    values_panel,          # f32[mb, max_bpr, bm, bk]
+    dense,                 # f32[kb * bk, n_pad]
+    bias,                  # f32[mb * bm, 1] (ignored unless epilogue)
+    *,
+    mb: int,
+    max_bpr: int,
+    kb: int,
+    bm: int,
+    bk: int,
+    bn: int,
+    precision: str = "default",
+    epilogue: str = "none",  # none | bias | bias_relu
+    interpret: bool = False,
+):
+    """Core panel SpMM: returns ``f32[mb * bm, n_pad]``."""
+    n_pad = dense.shape[1]
+    nb = n_pad // bn
+    prec = jax.lax.Precision[precision.upper()]
+
+    def kernel(cols_ref, nblk_ref, vals_ref, dense_ref, bias_ref, out_ref):
+        i = pl.program_id(0)
+        s = pl.program_id(2)
+
+        @pl.when(s == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(s < nblk_ref[i])
+        def _():
+            out_ref[:] += jax.lax.dot(
+                vals_ref[0, 0],
+                dense_ref[:],
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+
+        if epilogue != "none":
+            @pl.when(s == max_bpr - 1)
+            def _():
+                pre = out_ref[:] + bias_ref[:]
+                out_ref[:] = (
+                    jnp.maximum(pre, 0.0) if epilogue == "bias_relu" else pre
+                )
+
+    grid = (mb, nb, max_bpr)
+    flops = 2 * int(np.sum(np.asarray(nblocks))) if isinstance(
+        nblocks, np.ndarray) else 2 * mb * max_bpr
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda i, j, s, cols, nblk: (i, s, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (bk, bn),
+                    lambda i, j, s, cols, nblk: (cols[i * max_bpr + s], j),
+                ),
+                pl.BlockSpec(
+                    (bm, 1),
+                    lambda i, j, s, cols, nblk: (i, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, s, cols, nblk: (i, j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * bm * bk * n_pad,
+            bytes_accessed=(
+                mb * max_bpr * bm * bk * 4 + kb * bk * n_pad * 4 * mb
+                + mb * bm * n_pad * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_cols, nblocks, values_panel, dense, bias)
+
+
+def _panel_consts(topo, bm, bk):
+    """Host-side per-topology constants for the kernel (cached on the view)."""
+    bv = topo.block(bm, bk)
+    return bv
+
+
+def bsr_spmm(
+    topo,
+    values,
+    dense,
+    bias=None,
+    *,
+    bm: int = 128,
+    bk: int = 128,
+    bn: int = 128,
+    precision: str = "default",
+    epilogue: str = "none",
+    interpret: bool = False,
+):
+    """CSR SpMM via the block panel: ``values[nnz_pad] x dense[n, n_out]
+    -> [m, n_out]`` (optionally fused ``+ bias`` / ``relu``)."""
+    bv = _panel_consts(topo, bm, bk)
+    m, n_out = topo.m, dense.shape[-1]
+    n_pad = _round_up(max(n_out, 1), bn)
+
+    # values -> panel (gather via the precomputed inverse index; padding
+    # slots read an explicit appended zero).
+    gidx = _panel_gather_index(bv)
+    vext = jnp.concatenate([values, jnp.zeros((1,), values.dtype)])
+    panel = jnp.take(vext, jnp.asarray(gidx.reshape(-1)), axis=0).reshape(
+        bv.values_shape
+    )
+
+    dense_pad = jnp.zeros((bv.n_pad, n_pad), dense.dtype)
+    dense_pad = dense_pad.at[: dense.shape[0], :n_out].set(dense)
+
+    if bias is None:
+        bias_pad = jnp.zeros((bv.m_pad, 1), jnp.float32)
+    else:
+        bias_pad = jnp.zeros((bv.m_pad, 1), jnp.float32)
+        bias_pad = bias_pad.at[:m, 0].set(bias)
+
+    out = bsr_spmm_panel(
+        jnp.asarray(bv.block_cols.reshape(-1)),
+        jnp.asarray(bv.nblocks),
+        panel,
+        dense_pad,
+        bias_pad,
+        mb=bv.mb,
+        max_bpr=bv.max_bpr,
+        kb=bv.kb,
+        bm=bm,
+        bk=bk,
+        bn=bn,
+        precision=precision,
+        epilogue=epilogue,
+        interpret=interpret,
+    )
+    return out[:m, :n_out]
+
+
+def _panel_gather_index(bv) -> np.ndarray:
+    """i32[dump] inverse of ``scatter_idx``: panel slot -> values slot
+    (padding -> one past the values vector, an appended zero)."""
+    cached = getattr(bv, "_panel_gather_cache", None)
+    if cached is not None:
+        return cached
+    nnz_pad = bv.scatter_idx.shape[0]
+    idx = np.full(bv.dump + 1, nnz_pad, dtype=np.int32)
+    idx[bv.scatter_idx] = np.arange(nnz_pad, dtype=np.int32)
+    idx = idx[: bv.dump]
+    object.__setattr__(bv, "_panel_gather_cache", idx)
+    return idx

@@ -1,0 +1,76 @@
+"""Backend dispatch for the Pallas block-CSR kernels.
+
+Policy: the Pallas path is the production path on real TPUs; the XLA oracle
+(`ops/xla_ops.py`) remains the default elsewhere (CPU tests run the kernels
+explicitly in interpret mode instead — full-suite interpret execution would
+be needlessly slow). ``sputnik_tpu.set_backend("pallas")`` forces the kernels
+anywhere (using interpret mode off-TPU); ``set_backend("xla")`` forces the
+oracle.
+
+Large topologies are routed to Pallas even under "auto" on TPU because the
+oracle's gather formulation materialises ``[nnz_pad, n]`` intermediates —
+fine at test sizes, impossible at the benchmark's 4096^3 (27 GB).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from . import bsr_sddmm, bsr_spmm, ell_softmax
+
+__all__ = ["supported", "spmm", "sddmm", "sparse_softmax", "spmm_bias_relu"]
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return not _on_tpu()
+
+
+def supported(topo) -> bool:
+    """Whether the Pallas path should serve this topology under "auto"."""
+    if not _on_tpu():
+        return False
+    # Everything is supported via padding; tiny topologies stay on the
+    # oracle (padding to 128x128 tiles would dominate).
+    return topo.m * topo.n >= 64 * 64
+
+
+def _tiles(topo):
+    """Tile-size heuristic: bigger output tiles amortise HBM traffic on big
+    shapes; 128 everywhere is the safe default."""
+    bn = int(os.environ.get("SPUTNIK_TPU_BN", 0))
+    if bn:
+        return 128, 128, bn
+    if topo.m >= 2048 and topo.n >= 2048:
+        return 128, 128, 512
+    return 128, 128, 128
+
+
+def spmm(topo, values, dense):
+    bm, bk, bn = _tiles(topo)
+    return bsr_spmm.bsr_spmm(
+        topo, values, dense, bm=bm, bk=bk, bn=bn, interpret=_interpret()
+    )
+
+
+def spmm_bias_relu(topo, values, dense, bias, *, relu: bool = True):
+    bm, bk, bn = _tiles(topo)
+    return bsr_spmm.bsr_spmm(
+        topo, values, dense, bias,
+        bm=bm, bk=bk, bn=bn,
+        epilogue="bias_relu" if relu else "bias",
+        interpret=_interpret(),
+    )
+
+
+def sddmm(topo, lhs, rhs):
+    return bsr_sddmm.bsr_sddmm(topo, lhs, rhs, interpret=_interpret())
+
+
+def sparse_softmax(topo, values):
+    return ell_softmax.ell_softmax(topo, values, interpret=_interpret())

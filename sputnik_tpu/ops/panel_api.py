@@ -1,0 +1,391 @@
+"""Panel-native differentiable ops — the canonical TPU hot path.
+
+The flat-CSR op set (``ops/api.py``) keeps the reference's calling
+convention (``values[nnz]`` in CSR order, ``src/sputnik.cpp:36-42``), but on
+TPU any layout change of 10^6+ elements is a multi-ms gather. So the
+framework's *device* layout for sparse values is the MXU block panel
+``f32[mb, max_bpr, bm, bk]`` (``blocking.BlockView``), and this module closes
+the whole op algebra over that layout with ZERO element permutations:
+
+  * ``spmm``          : panel  x dense  -> dense      (BSR kernel)
+  * ``spmm_t``        : panel^T x dense -> dense      (transposed *metadata*,
+                        tiles transposed inside the MXU — no value movement)
+  * ``sddmm``         : dense x dense   -> panel      (BSR kernel)
+  * ``sparse_softmax``: panel -> panel               (axis reductions)
+  * backward passes compose the same three kernels, exactly the reference's
+    algebra (``modules/spmm.py:40-74``, ``modules/sddmm.py:41-75``) but
+    permutation-free.
+
+CSR <-> panel conversion happens once at the boundary
+(``values_to_panel`` / ``panel_to_values``), host-side for module init and
+checkpoint import/export.
+
+Off-TPU these ops run the same algebra through the XLA oracle by converting
+panel -> flat with host-precomputed indices (cheap on CPU), so the whole
+suite tests one code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import xla_ops
+from .pallas import bsr_sddmm as _sddmm_mod
+from .pallas import bsr_spmm as _spmm_mod
+from .pallas import bsr_spmm_t as _spmm_t_mod
+
+__all__ = [
+    "PanelSpec",
+    "default_block",
+    "values_to_panel",
+    "values_to_panel_np",
+    "panel_to_values",
+    "panel_to_values_np",
+    "panel_kaiming_values",
+    "spmm",
+    "spmm_t",
+    "sddmm",
+    "sparse_softmax",
+    "spmm_bias_relu",
+]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def default_block(topo) -> Tuple[int, int]:
+    """Tile-size heuristic: larger row tiles amortise HBM traffic on large
+    matrices; 128 keeps block-granularity (and padding waste) small."""
+    if topo.m >= 4096:
+        return 512, 128
+    return 128, 128
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _use_kernels() -> bool:
+    from . import api as _api
+
+    backend = _api.get_backend()
+    if backend == "xla":
+        return False
+    if backend == "pallas":
+        return True
+    return _on_tpu()
+
+
+def _interp() -> bool:
+    return not _on_tpu()
+
+
+# ---------------------------------------------------------------------------
+# Layout conversion (boundary only).
+# ---------------------------------------------------------------------------
+
+
+def values_to_panel_np(topo, values: np.ndarray, bm: int, bk: int):
+    """Host-side CSR values -> panel (module init / checkpoint import)."""
+    bv = topo.block(bm, bk)
+    flat = np.zeros(bv.dump + 1, dtype=np.float32)
+    flat[bv.scatter_idx] = np.asarray(values, np.float32)
+    return flat[: bv.dump].reshape(bv.values_shape)
+
+
+def panel_to_values_np(topo, panel: np.ndarray, bm: int, bk: int):
+    """Host-side panel -> CSR values (checkpoint export)."""
+    bv = topo.block(bm, bk)
+    flat = np.concatenate(
+        [np.asarray(panel, np.float32).reshape(-1), np.zeros(1, np.float32)]
+    )
+    return flat[np.minimum(bv.gather_idx, bv.dump)]
+
+
+def values_to_panel(topo, values, bm: int, bk: int):
+    """Device-side scatter (boundary op — NOT for per-step use at scale)."""
+    bv = topo.block(bm, bk)
+    flat = jnp.zeros((bv.dump + 1,), values.dtype)
+    flat = flat.at[jnp.asarray(bv.scatter_idx)].set(values)
+    return flat[: bv.dump].reshape(bv.values_shape)
+
+
+def panel_to_values(topo, panel, bm: int, bk: int):
+    bv = topo.block(bm, bk)
+    flat = jnp.concatenate(
+        [panel.reshape(-1), jnp.zeros((1,), panel.dtype)]
+    )
+    return jnp.take(flat, jnp.asarray(bv.gather_idx))
+
+
+def panel_kaiming_values(topo, bm: int, bk: int, *, gain: float = 1.0):
+    """Kaiming-uniform init over nonzero slots, in panel layout."""
+    bv = topo.block(bm, bk)
+    fan_in = max(float(topo.nnz) / max(topo.m, 1), 1.0)
+    bound = gain * np.sqrt(3.0 / fan_in)
+
+    def init(key, shape=bv.values_shape, dtype=jnp.float32):
+        vals = jax.random.uniform(key, shape, dtype, -bound, bound)
+        return vals * jnp.asarray(bv.mask, dtype)
+
+    return init
+
+
+class PanelSpec:
+    """Static (topology, bm, bk) bundle for panel ops; hashable identity."""
+
+    __slots__ = ("topo", "bm", "bk", "_view")
+
+    def __init__(self, topo, bm: Optional[int] = None,
+                 bk: Optional[int] = None):
+        dbm, dbk = default_block(topo)
+        self.topo = topo
+        self.bm = bm or dbm
+        self.bk = bk or dbk
+        self._view = topo.block(self.bm, self.bk)
+
+    @property
+    def view(self):
+        return self._view
+
+    def __hash__(self):
+        return hash((id(self.topo), self.bm, self.bk))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, PanelSpec)
+            and self.topo is other.topo
+            and (self.bm, self.bk) == (other.bm, other.bk)
+        )
+
+    def __repr__(self):
+        return f"PanelSpec({self.topo!r}, bm={self.bm}, bk={self.bk})"
+
+
+def _spec(spec) -> PanelSpec:
+    return spec if isinstance(spec, PanelSpec) else PanelSpec(spec)
+
+
+# ---------------------------------------------------------------------------
+# Raw impls (kernel on TPU, oracle elsewhere).
+# ---------------------------------------------------------------------------
+
+
+def _flat(spec, panel):
+    """Panel -> flat CSR values via host indices (oracle path only)."""
+    bv = spec.view
+    flat = jnp.concatenate([panel.reshape(-1), jnp.zeros((1,), panel.dtype)])
+    return jnp.take(flat, jnp.asarray(bv.gather_idx))
+
+
+def _spmm_impl(spec, panel, dense, bias=None, epilogue="none"):
+    t, bv = spec.topo, spec.view
+    if _use_kernels():
+        n_out = dense.shape[-1]
+        bn = 512 if n_out >= 2048 else 128
+        n_pad = _round_up(max(n_out, 1), bn)
+        dense_pad = jnp.zeros((bv.n_pad, n_pad), dense.dtype)
+        dense_pad = dense_pad.at[: dense.shape[0], :n_out].set(dense)
+        bias_pad = jnp.zeros((bv.m_pad, 1), jnp.float32)
+        if bias is not None:
+            bias_pad = bias_pad.at[: t.m, 0].set(bias)
+        out = _spmm_mod.bsr_spmm_panel(
+            jnp.asarray(bv.block_cols.reshape(-1)),
+            jnp.asarray(bv.nblocks),
+            panel, dense_pad, bias_pad,
+            mb=bv.mb, max_bpr=bv.max_bpr, kb=bv.kb,
+            bm=spec.bm, bk=spec.bk, bn=bn,
+            epilogue=epilogue, interpret=_interp(),
+        )
+        return out[: t.m, :n_out]
+    vals = _flat(spec, panel)
+    out = xla_ops.spmm(vals, t.column_indices, t.row_ids, t.m, dense)
+    if epilogue != "none":
+        out = out + bias[:, None]
+        if epilogue == "bias_relu":
+            out = jnp.maximum(out, 0.0)
+    return out
+
+
+def _spmm_t_impl(spec, panel, g):
+    """``A^T @ G`` off the original panel."""
+    t, bv = spec.topo, spec.view
+    if _use_kernels():
+        t_nblocks, t_src = bv.transpose_meta()
+        max_bpc = t_src.shape[1]
+        q_out = g.shape[-1]
+        bq = 512 if q_out >= 2048 else 128
+        q_pad = _round_up(max(q_out, 1), bq)
+        g_pad = jnp.zeros((bv.m_pad, q_pad), g.dtype)
+        g_pad = g_pad.at[: g.shape[0], :q_out].set(g)
+        out = _spmm_t_mod.bsr_spmm_t_panel(
+            jnp.asarray(t_src[:, :, 0].reshape(-1)),
+            jnp.asarray(t_src[:, :, 1].reshape(-1)),
+            jnp.asarray(t_nblocks),
+            panel, g_pad,
+            kb=bv.kb, max_bpc=max_bpc, mb=bv.mb,
+            bm=spec.bm, bk=spec.bk, bq=bq, interpret=_interp(),
+        )
+        return out[: t.n, :q_out]
+    vals = _flat(spec, panel)
+    topo_t, perm = t.transpose()
+    vals_t = jnp.take(vals, jnp.asarray(perm))
+    return xla_ops.spmm(
+        vals_t, topo_t.column_indices, topo_t.row_ids, topo_t.m, g
+    )
+
+
+def _sddmm_impl(spec, lhs, rhs):
+    t, bv = spec.topo, spec.view
+    if _use_kernels():
+        d = lhs.shape[-1]
+        bd = 128
+        d_pad = _round_up(max(d, 1), bd)
+        lhs_pad = jnp.zeros((bv.m_pad, d_pad), lhs.dtype)
+        lhs_pad = lhs_pad.at[: lhs.shape[0], :d].set(lhs)
+        rhs_pad = jnp.zeros((bv.n_pad, d_pad), rhs.dtype)
+        rhs_pad = rhs_pad.at[: rhs.shape[0], :d].set(rhs)
+        return _sddmm_mod.bsr_sddmm_panel(
+            jnp.asarray(bv.block_cols.reshape(-1)),
+            jnp.asarray(bv.nblocks),
+            lhs_pad, rhs_pad, jnp.asarray(bv.mask, jnp.float32),
+            mb=bv.mb, max_bpr=bv.max_bpr,
+            bm=spec.bm, bk=spec.bk, bd=bd, interpret=_interp(),
+        )
+    vals = xla_ops.sddmm(lhs, rhs, t.row_ids, t.column_indices, t.valid)
+    flat = jnp.zeros((bv.dump + 1,), vals.dtype)
+    flat = flat.at[jnp.asarray(bv.scatter_idx)].set(vals)
+    return flat[: bv.dump].reshape(bv.values_shape)
+
+
+_NEG_LARGE = -1e30
+
+
+def _softmax_impl(spec, panel):
+    """Masked row softmax on the panel: reduce over (slot, lane) axes."""
+    mask = jnp.asarray(spec.view.mask)
+    v = jnp.where(mask, panel, _NEG_LARGE)
+    row_max = jnp.max(v, axis=(1, 3), keepdims=True)
+    row_max = jnp.maximum(row_max, _NEG_LARGE)
+    e = jnp.where(mask, jnp.exp(v - row_max), 0.0)
+    denom = jnp.sum(e, axis=(1, 3), keepdims=True)
+    return e / jnp.maximum(denom, jnp.finfo(panel.dtype).tiny)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp ops.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm(spec, panel, dense):
+    """``A_panel @ dense``: ``[mb,max_bpr,bm,bk] x [n, q] -> [m, q]``."""
+    return _spmm_impl(_spec(spec), panel, dense)
+
+
+def _spmm_fwd(spec, panel, dense):
+    return _spmm_impl(_spec(spec), panel, dense), (panel, dense)
+
+
+def _spmm_bwd(spec, res, g):
+    spec = _spec(spec)
+    panel, dense = res
+    d_panel = _sddmm_impl(spec, g, dense)
+    d_dense = _spmm_t_impl(spec, panel, g)
+    return d_panel, d_dense
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm_t(spec, panel, dense):
+    """``A_panel^T @ dense``: ``[n, q]`` from ``dense [m, q]``."""
+    return _spmm_t_impl(_spec(spec), panel, dense)
+
+
+def _spmm_t_fwd(spec, panel, dense):
+    return _spmm_t_impl(_spec(spec), panel, dense), (panel, dense)
+
+
+def _spmm_t_bwd(spec, res, g):
+    spec = _spec(spec)
+    panel, dense = res
+    # out = A^T d  =>  dA = d g^T sampled = sddmm(dense_cotangent pair)
+    d_panel = _sddmm_impl(spec, dense, g)
+    d_dense = _spmm_impl(spec, panel, g)
+    return d_panel, d_dense
+
+
+spmm_t.defvjp(_spmm_t_fwd, _spmm_t_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sddmm(spec, lhs, rhs):
+    """Sampled ``lhs @ rhs^T`` -> panel values."""
+    return _sddmm_impl(_spec(spec), lhs, rhs)
+
+
+def _sddmm_fwd(spec, lhs, rhs):
+    return _sddmm_impl(_spec(spec), lhs, rhs), (lhs, rhs)
+
+
+def _sddmm_bwd(spec, res, g_panel):
+    spec = _spec(spec)
+    lhs, rhs = res
+    d_lhs = _spmm_impl(spec, g_panel, rhs)
+    d_rhs = _spmm_t_impl(spec, g_panel, lhs)
+    return d_lhs, d_rhs
+
+
+sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sparse_softmax(spec, panel):
+    """Row-wise softmax over nonzeros, panel layout in and out."""
+    return _softmax_impl(_spec(spec), panel)
+
+
+def _softmax_fwd(spec, panel):
+    p = _softmax_impl(_spec(spec), panel)
+    return p, p
+
+
+def _softmax_bwd(spec, p, g):
+    pg = p * g
+    rs = jnp.sum(pg, axis=(1, 3), keepdims=True)
+    return (p * (g - rs),)
+
+
+sparse_softmax.defvjp(_softmax_fwd, _softmax_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm_bias_relu(spec, panel, dense, bias):
+    """Fused ``relu(A_panel @ dense + bias[:, None])``."""
+    return _spmm_impl(_spec(spec), panel, dense, bias, epilogue="bias_relu")
+
+
+def _spmm_br_fwd(spec, panel, dense, bias):
+    out = _spmm_impl(_spec(spec), panel, dense, bias, epilogue="bias_relu")
+    return out, (panel, dense, out)
+
+
+def _spmm_br_bwd(spec, res, g):
+    spec = _spec(spec)
+    panel, dense, out = res
+    ge = jnp.where(out > 0, g, 0.0)
+    d_panel = _sddmm_impl(spec, ge, dense)
+    d_dense = _spmm_t_impl(spec, panel, ge)
+    d_bias = jnp.sum(ge, axis=-1)
+    return d_panel, d_dense, d_bias
+
+
+spmm_bias_relu.defvjp(_spmm_br_fwd, _spmm_br_bwd)

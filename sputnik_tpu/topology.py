@@ -80,10 +80,17 @@ def dense_to_csr_arrays(matrix: np.ndarray) -> Tuple[np.ndarray, ...]:
     """Dense numpy matrix -> (values, row_offsets, column_indices).
 
     Equivalent of the reference's ``_dense_to_sparse``
-    (``tests/sparse_matrix.py:9-41``) without the torch round trip.
+    (``tests/sparse_matrix.py:9-41``) without the torch round trip. Uses the
+    native C builder (``_native/topology.c``) when available.
     """
     matrix = np.asarray(matrix)
     assert matrix.ndim == 2, f"expected 2-D matrix, got {matrix.shape}"
+    if matrix.dtype == np.float32 or matrix.dtype == np.float64:
+        from . import _native
+
+        got = _native.csr_from_dense(matrix.astype(np.float32, copy=False))
+        if got is not None:
+            return got
     mask = matrix != 0
     values = matrix[mask].astype(np.float32)
     lengths = mask.sum(axis=1).astype(np.int64)
@@ -220,15 +227,22 @@ class SparseTopology:
         if self._transpose_cache is not None:
             return self._transpose_cache
 
-        rows = self.row_ids[: self.nnz].astype(np.int64)
-        cols = self.column_indices[: self.nnz].astype(np.int64)
-        # CSC order: sort by (col, row); stable lexsort keys are reversed.
-        order = np.lexsort((rows, cols)).astype(np.int32)
+        from . import _native
 
-        counts = np.bincount(cols, minlength=self.n)
-        row_offsets_t = np.zeros(self.n + 1, dtype=np.int32)
-        np.cumsum(counts, out=row_offsets_t[1:])
-        column_indices_t = rows[order].astype(np.int32)
+        got = _native.transpose_perm(
+            self.row_ids[: self.nnz], self.column_indices[: self.nnz], self.n
+        )
+        if got is not None:
+            row_offsets_t, column_indices_t, order = got
+        else:
+            rows = self.row_ids[: self.nnz].astype(np.int64)
+            cols = self.column_indices[: self.nnz].astype(np.int64)
+            # CSC order: sort by (col, row); stable lexsort keys reversed.
+            order = np.lexsort((rows, cols)).astype(np.int32)
+            counts = np.bincount(cols, minlength=self.n)
+            row_offsets_t = np.zeros(self.n + 1, dtype=np.int32)
+            np.cumsum(counts, out=row_offsets_t[1:])
+            column_indices_t = rows[order].astype(np.int32)
 
         topo_t = SparseTopology(
             self.n,

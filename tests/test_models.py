@@ -33,13 +33,10 @@ def pruned_weight(out_f, in_f, prune, seed=0):
     return w
 
 
-def copy_params_from_dense(layer_topo, w_dense, bias=None):
-    """Pack a dense weight into the layer's value-vector param (the
-    reference's ``copy_params`` pattern, test_linear.py:87-99)."""
-    t = layer_topo
-    vals = np.zeros(t.nnz_pad, np.float32)
-    vals[: t.nnz] = w_dense[t.row_ids[: t.nnz], t.column_indices[: t.nnz]]
-    params = {"values": jnp.asarray(vals)}
+def copy_params_from_dense(layer, w_dense, bias=None):
+    """Pack a dense weight into the layer's value param (the reference's
+    ``copy_params`` pattern, test_linear.py:87-99), layout-aware."""
+    params = {"values": jnp.asarray(layer.pack_dense(w_dense))}
     if bias is not None:
         params["bias"] = jnp.asarray(bias)
     return params
@@ -53,7 +50,17 @@ class TestSparseLinear:
         bias = init_uniform((out_f,), seed=3)
         layer = SparseLinear.from_mask(w != 0)
         x = init_uniform((rows, in_f), seed=4)
-        params = {"params": copy_params_from_dense(layer.topology, w, bias)}
+        params = {"params": copy_params_from_dense(layer, w, bias)}
+        y = layer.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(y, x @ w.T + bias, **TOL)
+
+    def test_2d_parity_csr_layout(self):
+        out_f, in_f, rows = 64, 48, 32
+        w = pruned_weight(out_f, in_f, 0.9)
+        bias = init_uniform((out_f,), seed=3)
+        layer = SparseLinear.from_mask(w != 0, layout="csr")
+        x = init_uniform((rows, in_f), seed=4)
+        params = {"params": copy_params_from_dense(layer, w, bias)}
         y = layer.apply(params, jnp.asarray(x))
         np.testing.assert_allclose(y, x @ w.T + bias, **TOL)
 
@@ -65,7 +72,7 @@ class TestSparseLinear:
         layer = SparseLinear.from_mask(w != 0)
         t = layer.topology
         x = init_uniform((b, rows, in_f), seed=7)
-        params = {"params": copy_params_from_dense(t, w, bias)}
+        params = {"params": copy_params_from_dense(layer, w, bias)}
         y = layer.apply(params, jnp.asarray(x))
         ref = np.einsum("brk,ok->bro", x, w) + bias
         np.testing.assert_allclose(y, ref, **TOL)
@@ -80,10 +87,7 @@ class TestSparseLinear:
         gw, gb = jax.grad(loss_dense, argnums=(0, 1))(
             jnp.asarray(w), jnp.asarray(bias), jnp.asarray(x)
         )
-        got = np.zeros((out_f, in_f), np.float32)
-        got[t.row_ids[: t.nnz], t.column_indices[: t.nnz]] = np.asarray(
-            g["values"]
-        )[: t.nnz]
+        got = layer.unpack_dense(g["values"])
         np.testing.assert_allclose(got, np.asarray(gw) * (w != 0), rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(g["bias"], gb, rtol=1e-3, atol=1e-3)
 
@@ -93,7 +97,7 @@ class TestSparseLinear:
         bias = init_uniform((out_f,), low=-0.5, high=0.5, seed=9)
         layer = SparseLinear.from_mask(w != 0, fuse_relu=True)
         x = init_uniform((rows, in_f), low=-1.0, high=1.0, seed=10)
-        params = {"params": copy_params_from_dense(layer.topology, w, bias)}
+        params = {"params": copy_params_from_dense(layer, w, bias)}
         y = layer.apply(params, jnp.asarray(x))
         np.testing.assert_allclose(y, np.maximum(x @ w.T + bias, 0.0), **TOL)
 
@@ -101,9 +105,9 @@ class TestSparseLinear:
         layer = SparseLinear.from_mask(pruned_weight(32, 32, 0.9, seed=11) != 0)
         params = layer.init(jax.random.PRNGKey(0), jnp.zeros((4, 32)))
         vals = np.asarray(params["params"]["values"])
-        t = layer.topology
-        np.testing.assert_array_equal(vals[t.nnz:], 0.0)  # padding zero
-        assert (vals[: t.nnz] != 0).mean() > 0.99
+        mask = layer.spec().view.mask  # panel layout: zeros off-topology
+        np.testing.assert_array_equal(vals[~mask], 0.0)
+        assert (vals[mask] != 0).mean() > 0.99
 
 
 class TestSparseAttention:
@@ -122,15 +126,9 @@ class TestSparseAttention:
 
         # oracle: dense masked attention with the same projection weights
         def project(name, xx):
-            t = attn.score_topology  # noqa: F841
             p = params["params"][name]
             lt = SparseLinear.from_mask(np.ones((e, e)))  # dense-topo layer
-            wd = np.zeros((e, e), np.float32)
-            topo = attn.weight_topologies or None
-            # weights are dense-equivalent topologies: reconstruct
-            full = st.SparseTopology.from_dense_mask(np.ones((e, e)))
-            vals = np.asarray(p["values"])
-            wd[full.row_ids[: full.nnz], full.column_indices[: full.nnz]] = vals[: full.nnz]
+            wd = lt.unpack_dense(p["values"])
             return xx @ wd.T + np.asarray(p["bias"])
 
         q = project("q_proj", x).reshape(b, s, heads, e // heads)

@@ -32,7 +32,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["EllView", "BlockView", "build_ell", "build_blocks"]
+__all__ = ["EllView", "BlockView", "build_ell", "build_blocks",
+           "stack_block_meta"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -231,3 +232,51 @@ def build_blocks(topo, *, bm: int, bk: int) -> BlockView:
         block_valid=block_valid, nblocks=counts.astype(np.int32),
         scatter_idx=scatter_idx, gather_idx=gather_idx, mask=mask,
     )
+
+
+def stack_block_meta(views):
+    """Stack per-topology BlockViews (equal ``m``/``n``/tiles) to common
+    ``max_bpr``/``max_bpc`` batch metadata for the batched/sharded kernels.
+
+    Returns a dict with: ``block_cols [B, mb*max_bpr]``, ``nblocks [B, mb]``,
+    ``mask [B, mb, max_bpr, bm, bk]`` (f32), ``t_src_i/t_src_s
+    [B, kb*max_bpc]``, ``t_nblocks [B, kb]``, ``max_bpr``, ``max_bpc``.
+    Padded block slots repeat the last valid entry so Pallas index maps
+    revisit the previous block and skip the DMA.
+    """
+    B = len(views)
+    v0 = views[0]
+    mb, kb, bm, bk = v0.mb, v0.kb, v0.bm, v0.bk
+    max_bpr = max(v.max_bpr for v in views)
+    cols = np.zeros((B, mb * max_bpr), np.int32)
+    nblk = np.zeros((B, mb), np.int32)
+    mask = np.zeros((B, mb, max_bpr, bm, bk), np.float32)
+    for b, v in enumerate(views):
+        c = np.zeros((mb, max_bpr), np.int32)
+        c[:, : v.max_bpr] = v.block_cols
+        for i in range(mb):
+            nb = int(v.nblocks[i])
+            if 0 < nb < max_bpr:
+                c[i, nb:] = c[i, nb - 1]
+        cols[b] = c.reshape(-1)
+        nblk[b] = v.nblocks
+        mask[b, :, : v.max_bpr] = v.mask
+
+    metas = [v.transpose_meta() for v in views]
+    max_bpc = max(ts.shape[1] for _, ts in metas)
+    ti = np.zeros((B, kb * max_bpc), np.int32)
+    ts_ = np.zeros((B, kb * max_bpc), np.int32)
+    tn = np.zeros((B, kb), np.int32)
+    for b, (tnb, tsrc) in enumerate(metas):
+        pad = np.zeros((kb, max_bpc, 2), np.int32)
+        pad[:, : tsrc.shape[1]] = tsrc
+        for j in range(kb):
+            nb = int(tnb[j])
+            if 0 < nb < max_bpc:
+                pad[j, nb:] = pad[j, nb - 1]
+        ti[b] = pad[:, :, 0].reshape(-1)
+        ts_[b] = pad[:, :, 1].reshape(-1)
+        tn[b] = tnb
+    return dict(block_cols=cols, nblocks=nblk, mask=mask, t_src_i=ti,
+                t_src_s=ts_, t_nblocks=tn, max_bpr=int(max_bpr),
+                max_bpc=int(max_bpc), mb=mb, kb=kb, bm=bm, bk=bk)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import many_mask as mm
+from ..ops import batched_panel as bp
 
 __all__ = [
     "SparseCoreAttention",
@@ -36,10 +37,29 @@ __all__ = [
 
 
 class SparseCoreAttention(nn.Module):
-    """SDDMM -> ragged CSR softmax -> SpMM with per-batch masks."""
+    """SDDMM -> ragged CSR softmax -> SpMM with per-batch masks.
+
+    ``layout="panel"`` (default) runs the chain through the batched panel
+    kernels (``ops/batched_panel.py``): one kernel launch for all ``b*h``
+    replicas, heads sharing their batch element's block metadata, scores
+    never leaving the MXU panel between the three ops. ``layout="csr"``
+    keeps the flat many-mask oracle path (reference-parity semantics,
+    ``tests/transformer/functions.py``)."""
 
     mask_topology: mm.ManyMaskTopology
     num_heads: int
+    layout: str = "panel"
+
+    def _panel_spec(self):
+        mt = self.mask_topology
+        cached = getattr(mt, "_batched_panel_specs", None)
+        if cached is None:
+            cached = {}
+            object.__setattr__(mt, "_batched_panel_specs", cached)
+        if self.num_heads not in cached:
+            cached[self.num_heads] = bp.BatchedPanelSpec.from_many_mask(
+                mt, heads=self.num_heads)
+        return cached[self.num_heads]
 
     def __call__(self, q, k, v):
         """q, k, v: ``[b, s, heads, head_dim]`` -> ``[b, s, h]``."""
@@ -55,9 +75,16 @@ class SparseCoreAttention(nn.Module):
             return x.reshape(b * h, s, hd)
 
         q3, k3, v3 = fold(q), fold(k), fold(v)
-        scores = mm.sddmm_many_mask(mt, q3, k3) / jnp.sqrt(float(hd))
-        weights = mm.sparse_softmax_many_mask(mt, scores)
-        ctx = mm.spmm_many_mask(mt, weights, v3)          # [b*h, s, hd]
+        scale = 1.0 / jnp.sqrt(float(hd))
+        if self.layout == "panel":
+            spec = self._panel_spec()
+            scores = bp.sddmm_bh(spec, q3, k3) * scale
+            weights = bp.sparse_softmax_bh(spec, scores)
+            ctx = bp.spmm_bh(spec, weights, v3)           # [b*h, s, hd]
+        else:
+            scores = mm.sddmm_many_mask(mt, q3, k3) * scale
+            weights = mm.sparse_softmax_many_mask(mt, scores)
+            ctx = mm.spmm_many_mask(mt, weights, v3)      # [b*h, s, hd]
         ctx = ctx.reshape(b, h, s, hd)
         return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(b, s, h * hd)
 

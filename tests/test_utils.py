@@ -1,0 +1,65 @@
+"""utils: profiling roofline model + checkpoint round-trips."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import sputnik_tpu as st
+from sputnik_tpu.models import SparseLinear
+from sputnik_tpu.ops import panel_api as P
+
+
+def test_roofline_sane():
+    from sputnik_tpu.utils.profiling import roofline
+
+    rng = np.random.RandomState(0)
+    A = ((rng.rand(256, 256) < 0.2) * rng.randn(256, 256)).astype(np.float32)
+    spec = P.PanelSpec(st.SparseMatrix(A).topology)
+    r = roofline(spec, 256)
+    assert r["speed_of_light_ms"] > 0
+    assert 0 < r["block_occupancy"] <= 1
+    assert 0 < r["useful_flop_fraction"] <= 1
+    assert r["flops"] >= 2 * st.SparseMatrix(A).topology.nnz * 256
+
+
+def test_measure_runs_on_cpu():
+    from sputnik_tpu.utils.profiling import measure
+
+    f = jax.jit(lambda x: x * 2.0)
+    ms = measure(f, jnp.ones((128, 128)), iters_lo=2, iters_hi=6, repeats=1)
+    assert ms >= 0
+
+
+def test_csr_export_import_roundtrip():
+    from sputnik_tpu.utils.checkpoint import export_csr, import_csr
+
+    rng = np.random.RandomState(1)
+    w = ((rng.rand(48, 64) < 0.3) * rng.randn(48, 64)).astype(np.float32)
+    layer = SparseLinear.from_mask(w != 0)
+    vp = layer.pack_dense(w)
+    blob = export_csr(layer, vp)
+    back = import_csr(layer, blob)
+    np.testing.assert_allclose(back, vp)
+    # portable across layouts: reload into a csr-layout layer
+    layer_csr = SparseLinear(topology=layer.topology, layout="csr")
+    flat = import_csr(layer_csr, blob)
+    np.testing.assert_allclose(layer_csr.unpack_dense(flat), w)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from sputnik_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    rng = np.random.RandomState(2)
+    w = ((rng.rand(32, 32) < 0.4) * rng.randn(32, 32)).astype(np.float32)
+    layer = SparseLinear.from_mask(w != 0)
+    x = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, params)
+    restored = restore_checkpoint(path, params)
+    got = layer.apply(restored, x)
+    want = layer.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))

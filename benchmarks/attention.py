@@ -1,0 +1,124 @@
+"""Sparse-vs-dense attention and transformer step benchmarks.
+
+The reference's informal perf checks are sparse/dense attention time
+ratios (``tests/test_attention.py:54-83``: r=256, s=72, 90% sparse) and an
+untimed 6-layer transformer driver (``tests/transformer/driver.py``: b=4,
+s=512, h=512, 8 heads, causal). This harness times both on TPU:
+
+  * attention core (SDDMM -> softmax -> SpMM, batched panel kernels) vs
+    dense masked softmax attention, same shapes;
+  * the full SparseTransformer train step at the driver's configuration.
+
+Usage: python benchmarks/attention.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed_chain(out_of, iters):
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = out_of()
+    leaf = out
+    while isinstance(leaf, (tuple, list, dict)):
+        leaf = (list(leaf.values()) if isinstance(leaf, dict) else leaf)[0]
+    float(jnp.sum(leaf.reshape(-1)[:8]))
+    return time.perf_counter() - t0
+
+
+def slope(out_of, n_lo=5, n_hi=20, repeats=3):
+    timed_chain(out_of, 1)
+    t_lo = min(timed_chain(out_of, n_lo) for _ in range(repeats))
+    t_hi = min(timed_chain(out_of, n_hi) for _ in range(repeats))
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3
+
+
+def bench_attention_core():
+    """reference test_attention.py scaled up: r replicas of [s, s] scores,
+    90% sparse random mask, s=512 (the reference uses s=72 — sub-tile on
+    TPU; 512 matches its transformer shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sputnik_tpu import many_mask as mm
+    from sputnik_tpu.ops import batched_panel as bp
+    from sputnik_tpu.patterns import uniform_mask
+
+    r, s, hd = 64, 512, 64
+    rng = np.random.RandomState(0)
+    mask = uniform_mask(s, s, sparsity=0.9, round_to=4, seed=1)
+    mt = mm.ManyMaskTopology.from_dense_masks(mask[None])
+    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=r)
+    q = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
+
+    @jax.jit
+    def sparse_attn(q, k, v):
+        sc = bp.sddmm_bh(spec, q, k) / np.sqrt(hd)
+        w = bp.sparse_softmax_bh(spec, sc)
+        return bp.spmm_bh(spec, w, v)
+
+    mask_j = jnp.asarray(mask)
+
+    @jax.jit
+    def dense_attn(q, k, v):
+        sc = jnp.einsum("rqd,rkd->rqk", q, k) / np.sqrt(hd)
+        sc = jnp.where(mask_j != 0, sc, -1e30)
+        w = jax.nn.softmax(sc, axis=-1) * (mask_j != 0)
+        return jnp.einsum("rqk,rkd->rqd", w, v)
+
+    ms_sparse = slope(lambda: sparse_attn(q, k, v))
+    ms_dense = slope(lambda: dense_attn(q, k, v))
+    print(json.dumps({
+        "config": f"attention core r={r} s={s} hd={hd} sp=0.9",
+        "sparse_ms": round(ms_sparse, 4),
+        "dense_ms": round(ms_dense, 4),
+        "ratio": round(ms_dense / ms_sparse, 3),
+    }), flush=True)
+
+
+def bench_transformer_driver():
+    """the reference driver config: 6 layers, b=4, s=512, h=512, 8 heads,
+    causal masks with a fully-masked row (driver.py:4-29)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sputnik_tpu.models import SparseTransformer
+
+    b, s, h, heads, layers, ffn = 4, 512, 512, 8, 6, 2048
+    rng = np.random.RandomState(0)
+    mask = np.tril(np.ones((s, s), np.float32))
+    mask[s // 2, :] = 0.0
+    masks = np.broadcast_to(mask, (b, s, s)).copy()
+    model = SparseTransformer.from_masks(
+        masks, num_layers=layers, hidden_size=h, num_heads=heads,
+        ffn_hidden_size=ffn)
+    x = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    fwd = jax.jit(lambda p: model.apply(p, x))
+    step = jax.jit(jax.value_and_grad(
+        lambda p: jnp.mean(model.apply(p, x) ** 2)))
+
+    ms_fwd = slope(lambda: fwd(params), n_lo=3, n_hi=12)
+    ms_step = slope(lambda: step(params)[0], n_lo=3, n_hi=12)
+    print(json.dumps({
+        "config": f"transformer driver b={b} s={s} h={h} x{layers}L",
+        "forward_ms": round(ms_fwd, 3),
+        "train_step_ms": round(ms_step, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    bench_attention_core()
+    bench_transformer_driver()

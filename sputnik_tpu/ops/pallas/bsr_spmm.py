@@ -153,13 +153,12 @@ def bsr_spmm(
     m, n_out = topo.m, dense.shape[-1]
     n_pad = _round_up(max(n_out, 1), bn)
 
-    # values -> panel (gather via the precomputed inverse index; padding
-    # slots read an explicit appended zero).
-    gidx = _panel_gather_index(bv)
-    vext = jnp.concatenate([values, jnp.zeros((1,), values.dtype)])
-    panel = jnp.take(vext, jnp.asarray(gidx.reshape(-1)), axis=0).reshape(
-        bv.values_shape
-    )
+    # values -> panel. Scatter (nnz writes) beats the inverse gather (dump
+    # reads) by >10x on TPU at scale — measured 11.8 ms vs 144 ms at 4096^3
+    # d=0.1. (The panel-native API avoids this boundary cost entirely.)
+    flat = jnp.zeros((bv.dump + 1,), values.dtype)
+    flat = flat.at[jnp.asarray(bv.scatter_idx)].set(values)
+    panel = flat[: bv.dump].reshape(bv.values_shape)
 
     dense_pad = jnp.zeros((bv.n_pad, n_pad), dense.dtype)
     dense_pad = dense_pad.at[: dense.shape[0], :n_out].set(dense)
@@ -187,17 +186,3 @@ def bsr_spmm(
         interpret=interpret,
     )
     return out[:m, :n_out]
-
-
-def _panel_gather_index(bv) -> np.ndarray:
-    """i32[dump] inverse of ``scatter_idx``: panel slot -> values slot
-    (padding -> one past the values vector, an appended zero)."""
-    cached = getattr(bv, "_panel_gather_cache", None)
-    if cached is not None:
-        return cached
-    nnz_pad = bv.scatter_idx.shape[0]
-    idx = np.full(bv.dump + 1, nnz_pad, dtype=np.int32)
-    idx[bv.scatter_idx] = np.arange(nnz_pad, dtype=np.int32)
-    idx = idx[: bv.dump]
-    object.__setattr__(bv, "_panel_gather_cache", idx)
-    return idx

@@ -42,20 +42,24 @@ def slope(out_of, n_lo=5, n_hi=20, repeats=3):
     return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3
 
 
-def bench_attention_core():
-    """reference test_attention.py scaled up: r replicas of [s, s] scores,
-    90% sparse random mask, s=512 (the reference uses s=72 — sub-tile on
-    TPU; 512 matches its transformer shapes)."""
+def bench_attention_core(name, mask, r, hd=64):
+    """Sparse attention core (batched panel kernels) vs dense masked
+    attention on the same mask. The reference's version of this is
+    ``tests/test_attention.py:54-83`` (r=256, s=72, random 90% sparse).
+
+    Note the regimes: with *random* masks every MXU tile stays occupied, so
+    TPU-sparse attention cannot skip FLOPs and dense wins at short s (the
+    GPU reference skips at element granularity instead). The wins are
+    structured masks (causal/local -> block skip) and long sequences
+    (sparse scores stay O(s*w) while dense is O(s^2))."""
     import jax
     import jax.numpy as jnp
 
     from sputnik_tpu import many_mask as mm
     from sputnik_tpu.ops import batched_panel as bp
-    from sputnik_tpu.patterns import uniform_mask
 
-    r, s, hd = 64, 512, 64
+    s = mask.shape[0]
     rng = np.random.RandomState(0)
-    mask = uniform_mask(s, s, sparsity=0.9, round_to=4, seed=1)
     mt = mm.ManyMaskTopology.from_dense_masks(mask[None])
     spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=r)
     q = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
@@ -80,10 +84,12 @@ def bench_attention_core():
     ms_sparse = slope(lambda: sparse_attn(q, k, v))
     ms_dense = slope(lambda: dense_attn(q, k, v))
     print(json.dumps({
-        "config": f"attention core r={r} s={s} hd={hd} sp=0.9",
+        "config": f"{name} r={r} s={s} hd={hd}",
+        "density": round(mt.topologies[0].nnz / s ** 2, 4),
+        "block_occupancy": round(spec.views[0].block_density, 4),
         "sparse_ms": round(ms_sparse, 4),
         "dense_ms": round(ms_dense, 4),
-        "ratio": round(ms_dense / ms_sparse, 3),
+        "speedup_vs_dense": round(ms_dense / ms_sparse, 3),
     }), flush=True)
 
 
@@ -120,5 +126,21 @@ def bench_transformer_driver():
 
 
 if __name__ == "__main__":
-    bench_attention_core()
-    bench_transformer_driver()
+    from sputnik_tpu.patterns import (
+        causal_mask,
+        local_window_mask,
+        uniform_mask,
+    )
+
+    which = os.environ.get("BENCH_ATTN", "all")
+    if which in ("all", "random"):
+        bench_attention_core(
+            "random sp=0.9", uniform_mask(512, 512, sparsity=0.9,
+                                          round_to=4, seed=1), r=64)
+    if which in ("all", "causal"):
+        bench_attention_core("causal", causal_mask(2048), r=16)
+    if which in ("all", "local"):
+        bench_attention_core(
+            "local w=256", local_window_mask(4096, window=256), r=8)
+    if which in ("all", "driver"):
+        bench_transformer_driver()

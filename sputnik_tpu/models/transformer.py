@@ -33,7 +33,24 @@ __all__ = [
     "MLP",
     "TransformerLayer",
     "SparseTransformer",
+    "divide",
+    "split_tensor_along_last_dim",
 ]
+
+
+def divide(numerator: int, denominator: int) -> int:
+    """Exact division with a clear error (the reference's Megatron-style
+    helper, ``tests/transformer/utils.py:64-70``)."""
+    if numerator % denominator != 0:
+        raise ValueError(f"{numerator} is not divisible by {denominator}")
+    return numerator // denominator
+
+
+def split_tensor_along_last_dim(tensor, num_partitions: int):
+    """Split the last dimension into equal chunks
+    (``tests/transformer/utils.py:72-80``)."""
+    divide(tensor.shape[-1], num_partitions)
+    return jnp.split(tensor, num_partitions, axis=-1)
 
 
 class SparseCoreAttention(nn.Module):
@@ -42,24 +59,28 @@ class SparseCoreAttention(nn.Module):
     ``layout="panel"`` (default) runs the chain through the batched panel
     kernels (``ops/batched_panel.py``): one kernel launch for all ``b*h``
     replicas, heads sharing their batch element's block metadata, scores
-    never leaving the MXU panel between the three ops. ``layout="csr"``
-    keeps the flat many-mask oracle path (reference-parity semantics,
-    ``tests/transformer/functions.py``)."""
+    never leaving the MXU panel between the three ops. ``layout="flash"``
+    fuses the whole chain into one kernel with online softmax (scores never
+    reach HBM — fastest forward; backward recomputes through the panel
+    chain). ``layout="csr"`` keeps the flat many-mask oracle path
+    (reference-parity semantics, ``tests/transformer/functions.py``)."""
 
     mask_topology: mm.ManyMaskTopology
     num_heads: int
     layout: str = "panel"
+    flash_block: int = 512
 
-    def _panel_spec(self):
+    def _panel_spec(self, bm=128, bk=128):
         mt = self.mask_topology
         cached = getattr(mt, "_batched_panel_specs", None)
         if cached is None:
             cached = {}
             object.__setattr__(mt, "_batched_panel_specs", cached)
-        if self.num_heads not in cached:
-            cached[self.num_heads] = bp.BatchedPanelSpec.from_many_mask(
-                mt, heads=self.num_heads)
-        return cached[self.num_heads]
+        key = (self.num_heads, bm, bk)
+        if key not in cached:
+            cached[key] = bp.BatchedPanelSpec.from_many_mask(
+                mt, heads=self.num_heads, bm=bm, bk=bk)
+        return cached[key]
 
     def __call__(self, q, k, v):
         """q, k, v: ``[b, s, heads, head_dim]`` -> ``[b, s, h]``."""
@@ -76,7 +97,13 @@ class SparseCoreAttention(nn.Module):
 
         q3, k3, v3 = fold(q), fold(k), fold(v)
         scale = 1.0 / jnp.sqrt(float(hd))
-        if self.layout == "panel":
+        if self.layout == "flash":
+            from ..ops.fused_attention import fused_sparse_attention
+
+            blk = min(self.flash_block, 1 << (s - 1).bit_length())
+            spec = self._panel_spec(bm=blk, bk=blk)
+            ctx = fused_sparse_attention(spec, q3, k3, v3, scale=scale)
+        elif self.layout == "panel":
             spec = self._panel_spec()
             scores = bp.sddmm_bh(spec, q3, k3) * scale
             weights = bp.sparse_softmax_bh(spec, scores)
@@ -95,6 +122,7 @@ class SparseSelfAttention(nn.Module):
     mask_topology: mm.ManyMaskTopology
     hidden_size: int
     num_heads: int
+    attention_layout: str = "panel"
 
     @nn.compact
     def __call__(self, x):
@@ -110,7 +138,8 @@ class SparseSelfAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         ctx = SparseCoreAttention(
-            mask_topology=self.mask_topology, num_heads=self.num_heads
+            mask_topology=self.mask_topology, num_heads=self.num_heads,
+            layout=self.attention_layout,
         )(q, k, v)
         return nn.Dense(self.hidden_size, name="dense")(ctx)
 
@@ -146,6 +175,7 @@ class TransformerLayer(nn.Module):
     activation: Optional[str] = None
     use_residual: bool = False
     use_layernorm: bool = False
+    attention_layout: str = "panel"
 
     @nn.compact
     def __call__(self, x):
@@ -157,6 +187,7 @@ class TransformerLayer(nn.Module):
             mask_topology=self.mask_topology,
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
+            attention_layout=self.attention_layout,
             name="self_attention",
         )(attn_in)
         x = x + attn if self.use_residual else attn
@@ -182,6 +213,7 @@ class SparseTransformer(nn.Module):
     activation: Optional[str] = None
     use_residual: bool = False
     use_layernorm: bool = False
+    attention_layout: str = "panel"
 
     @classmethod
     def from_masks(cls, masks: np.ndarray, **kwargs) -> "SparseTransformer":
@@ -201,6 +233,7 @@ class SparseTransformer(nn.Module):
                 activation=self.activation,
                 use_residual=self.use_residual,
                 use_layernorm=self.use_layernorm,
+                attention_layout=self.attention_layout,
                 name=f"layer_{i}",
             )(x)
         return x

@@ -1,0 +1,209 @@
+"""Fused sparse attention kernel — "sparse flash" (forward).
+
+The reference computes attention as three kernel dispatches with the score
+matrix materialised in CSR form between them (SDDMM -> SparseSoftmax ->
+SpMM, ``modules/sparse_attention.py:65-94``). On TPU the score traffic is
+the whole cost, so this kernel fuses the chain: for each query row-block it
+walks only the *occupied* key blocks of the mask topology, computes the
+score tile on the MXU, applies a numerically-stable online softmax
+(running max / denominator, flash-attention style), and accumulates the
+context — scores never touch HBM.
+
+Masking is block-classified: fully-dense blocks (the vast majority for
+causal / local-window topologies) skip the element mask entirely; only
+*partial* blocks fetch a mask tile, from a compacted mask array whose index
+map repeats the previous slot on full blocks so their DMA is elided.
+
+Batched like ``batched_panel``: grid dim 0 is the replica id; metadata
+index maps divide by ``heads`` so heads share their batch element's mask.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_sparse_attention_fwd", "build_flash_meta"]
+
+_NEG_LARGE = -1e30
+
+
+def build_flash_meta(views):
+    """Per-mask metadata for the fused kernel from stacked BlockViews.
+
+    Returns dict of stacked arrays (B leading dim):
+      block_cols   i32[B, mb*max_bpr]   (padding repeats last valid)
+      nblocks      i32[B, mb]
+      mask_slot    i32[B, mb*max_bpr]   slot into the compacted mask panel;
+                                        full blocks repeat the previous slot
+      is_partial   i32[B, mb*max_bpr]
+      pmask        f32[B, n_partial_max, bm, bk] compacted partial masks
+    """
+    B = len(views)
+    v0 = views[0]
+    mb, bm, bk = v0.mb, v0.bm, v0.bk
+    max_bpr = max(v.max_bpr for v in views)
+
+    cols = np.zeros((B, mb * max_bpr), np.int32)
+    nblk = np.zeros((B, mb), np.int32)
+    slot = np.zeros((B, mb * max_bpr), np.int32)
+    part = np.zeros((B, mb * max_bpr), np.int32)
+    pmasks = []
+    n_partial_max = 1
+    for b, v in enumerate(views):
+        c = np.zeros((mb, max_bpr), np.int32)
+        c[:, : v.max_bpr] = v.block_cols
+        sl = np.zeros((mb, max_bpr), np.int32)
+        pt = np.zeros((mb, max_bpr), np.int32)
+        pm = []
+        cur = 0
+        for i in range(mb):
+            nb = int(v.nblocks[i])
+            if 0 < nb < max_bpr:
+                c[i, nb:] = c[i, nb - 1]
+            for s in range(max_bpr):
+                if s < nb:
+                    tile = v.mask[i, s]
+                    if not tile.all():
+                        pm.append(tile.astype(np.float32))
+                        cur = len(pm) - 1
+                        sl[i, s] = cur
+                        pt[i, s] = 1
+                    else:
+                        sl[i, s] = cur  # repeat previous slot: DMA elided
+                else:
+                    sl[i, s] = cur
+        if not pm:
+            pm = [np.ones((bm, bk), np.float32)]
+        pmasks.append(np.stack(pm))
+        n_partial_max = max(n_partial_max, len(pm))
+        cols[b] = c.reshape(-1)
+        nblk[b] = v.nblocks
+        slot[b] = sl.reshape(-1)
+        part[b] = pt.reshape(-1)
+
+    pmask = np.zeros((B, n_partial_max, bm, bk), np.float32)
+    for b, pm in enumerate(pmasks):
+        pmask[b, : pm.shape[0]] = pm
+    return dict(block_cols=cols, nblocks=nblk, mask_slot=slot,
+                is_partial=part, pmask=pmask, max_bpr=int(max_bpr),
+                mb=mb, bm=bm, bk=bk)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "heads", "mb", "max_bpr", "bm", "bk", "interpret"))
+def flash_sparse_attention_fwd(
+    block_cols,    # i32[B, mb*max_bpr]
+    nblocks,       # i32[B, mb]
+    mask_slot,     # i32[B, mb*max_bpr]
+    is_partial,    # i32[B, mb*max_bpr]
+    pmask,         # f32[B, n_partial_max, bm, bk]
+    q,             # f32[R, mb*bm, hd_pad]   (pre-scaled by 1/sqrt(hd))
+    k,             # f32[R, kb*bk, hd_pad]
+    v,             # f32[R, kb*bk, hd_pad]
+    *,
+    R: int,
+    heads: int,
+    mb: int,
+    max_bpr: int,
+    bm: int,
+    bk: int,
+    interpret: bool = False,
+):
+    """Returns ``(out [R, mb*bm, hd_pad], row_max [R, mb*bm, 128],
+    row_denom [R, mb*bm, 128])`` — stats are broadcast along the 128-lane
+    minor dim (TPU-friendly layout) and consumed by the backward pass."""
+    hd_pad = q.shape[-1]
+    L = mb * max_bpr
+
+    def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
+               q_ref, k_ref, v_ref, pm_ref,
+               o_ref, m_ref, l_ref,
+               acc, m_scr, l_scr):
+        r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        b = r // heads
+
+        @pl.when(s == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            m_scr[:] = jnp.full_like(m_scr, _NEG_LARGE)
+            l_scr[:] = jnp.zeros_like(l_scr)
+
+        @pl.when(s < nblk_ref[b, i])
+        def _():
+            sc = jax.lax.dot_general(
+                q_ref[0], k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [bm, bk]
+            partial = part_ref[b, i * max_bpr + s] == 1
+            sc = jnp.where(
+                jnp.logical_and(partial, pm_ref[0, 0] == 0), _NEG_LARGE, sc)
+
+            m_prev = m_scr[:, :1]                          # [bm, 1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(sc, axis=1, keepdims=True))
+            p = jnp.exp(sc - m_new)
+            p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(
+                p, axis=1, keepdims=True)
+            m_scr[:, :1] = m_new
+            acc[:] = acc[:] * corr + jax.lax.dot(
+                p, v_ref[0], preferred_element_type=jnp.float32)
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            denom = jnp.maximum(l_scr[:, :1], 1e-30)
+            o_ref[0] = acc[:] / denom
+            m_ref[0] = jnp.broadcast_to(m_scr[:, :1], m_ref[0].shape)
+            l_ref[0] = jnp.broadcast_to(l_scr[:, :1], l_ref[0].shape)
+
+    grid = (R, mb, max_bpr)
+    out, row_max, row_denom = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bm, hd_pad),
+                             lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r, c[r // heads, i * max_bpr + s], 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r, c[r // heads, i * max_bpr + s], 0)),
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r // heads, sl[r // heads, i * max_bpr + s], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bm, hd_pad), jnp.float32),
+                pltpu.VMEM((bm, 128), jnp.float32),
+                pltpu.VMEM((bm, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R, mb * bm, 128), jnp.float32),
+            jax.ShapeDtypeStruct((R, mb * bm, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_cols, nblocks, mask_slot, is_partial, q, k, v, pmask)
+    return out, row_max, row_denom

@@ -1,14 +1,19 @@
-"""Differentiable fused sparse attention (sparse-flash forward).
+"""Differentiable fused sparse attention (sparse-flash fwd AND bwd).
 
 ``fused_sparse_attention(spec, q, k, v)`` computes masked softmax attention
-with the score topology of ``spec`` without ever materialising scores in
-HBM (one fused Pallas kernel, ``pallas/flash_sparse.py``). The backward
-pass recomputes through the unfused batched-panel chain — the same algebra
-as the reference's three-op composition, so gradients are exact; a fused
-backward kernel is a later optimisation.
+over the score topology of ``spec`` without materialising scores in HBM:
 
-Off-TPU (and as the correctness oracle) the forward runs the unfused
-batched-panel chain, which is itself validated against dense attention.
+  * forward: one Pallas kernel walking only the occupied key blocks with an
+    online softmax (``pallas/flash_sparse.flash_sparse_attention_fwd``);
+  * backward: two Pallas kernels recomputing score tiles from the saved row
+    stats — dq accumulates along the row direction (forward's grid), dk/dv
+    along the column direction via the transposed block metadata (the same
+    no-value-movement trick as ``bsr_spmm_t``).
+
+Off-TPU (and as the correctness oracle) both passes run the unfused
+batched-panel chain, itself validated against dense attention. The
+reference computes this chain as three CUDA dispatches with a *broken*
+softmax backward (``tests/transformer/functions.py:105-115``).
 """
 
 from __future__ import annotations
@@ -37,27 +42,34 @@ def _flash_meta(spec: bp.BatchedPanelSpec):
     return cached
 
 
+def _flash_bwd_meta(spec: bp.BatchedPanelSpec):
+    cached = getattr(spec, "_flash_bwd_meta", None)
+    if cached is None:
+        cached = fs.build_flash_bwd_meta(spec.views)
+        spec._flash_bwd_meta = cached
+    return cached
+
+
 def _unfused(spec, q, k, v, scale):
     scores = bp.sddmm_bh(spec, q, k) * scale
     w = bp.sparse_softmax_bh(spec, scores)
     return bp.spmm_bh(spec, w, v)
 
 
-def _fused_fwd_impl(spec, q, k, v, scale):
-    if not bp._use_kernels():
-        return _unfused(spec, q, k, v, scale)
+def _pad(spec, x, rows, hd_pad):
+    R = x.shape[0]
+    out = jnp.zeros((R, rows, hd_pad), x.dtype)
+    return out.at[:, : x.shape[1], : x.shape[2]].set(x)
+
+
+def _fused_fwd_impl(spec, q, k, v, scale, *, want_stats=False):
     meta = _flash_meta(spec)
     R, s, hd = q.shape
     hd_pad = _round_up(max(hd, 1), 128)
-
-    def pad(x, rows):
-        out = jnp.zeros((R, rows, hd_pad), x.dtype)
-        return out.at[:, : x.shape[1], :hd].set(x)
-
-    q_p = pad(q * scale, spec.m_pad)
-    k_p = pad(k, spec.n_pad)
-    v_p = pad(v, spec.n_pad)
-    out, _, _ = fs.flash_sparse_attention_fwd(
+    q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
+    k_p = _pad(spec, k, spec.n_pad, hd_pad)
+    v_p = _pad(spec, v, spec.n_pad, hd_pad)
+    out, row_max, row_denom = fs.flash_sparse_attention_fwd(
         jnp.asarray(meta["block_cols"]),
         jnp.asarray(meta["nblocks"]),
         jnp.asarray(meta["mask_slot"]),
@@ -68,23 +80,74 @@ def _fused_fwd_impl(spec, q, k, v, scale):
         max_bpr=meta["max_bpr"], bm=meta["bm"], bk=meta["bk"],
         interpret=bp._interp(),
     )
+    if want_stats:
+        return out[:, :s, :hd], row_max, row_denom
     return out[:, :s, :hd]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
 def _fused(spec, q, k, v, scale):
+    if not bp._use_kernels():
+        return _unfused(spec, q, k, v, scale)
     return _fused_fwd_impl(spec, q, k, v, scale)
 
 
 def _fused_f(spec, q, k, v, scale):
-    return _fused_fwd_impl(spec, q, k, v, scale), (q, k, v)
+    if not bp._use_kernels():
+        out = _unfused(spec, q, k, v, scale)
+        return out, (q, k, v, None, None, None)
+    out, row_max, row_denom = _fused_fwd_impl(spec, q, k, v, scale,
+                                              want_stats=True)
+    return out, (q, k, v, out, row_max, row_denom)
 
 
 def _fused_b(spec, scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _unfused(spec, q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, row_max, row_denom = res
+    if out is None:  # oracle path
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _unfused(spec, q_, k_, v_, scale), q, k, v)
+        return vjp(g)
+
+    meta = _flash_bwd_meta(spec)
+    R, s, hd = q.shape
+    hd_pad = _round_up(max(hd, 1), 128)
+    q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
+    k_p = _pad(spec, k, spec.n_pad, hd_pad)
+    v_p = _pad(spec, v, spec.n_pad, hd_pad)
+    g_p = _pad(spec, g, spec.m_pad, hd_pad)
+
+    # stats layout for the kernels: lane 0 = running max, lane 1 = denom
+    stats = jnp.concatenate(
+        [row_max[:, :, :1], row_denom[:, :, :1],
+         jnp.zeros((R, spec.m_pad, 126), jnp.float32)], axis=2)
+    d_rows = jnp.sum(g * out, axis=-1)                       # [R, s]
+    d_pad = jnp.zeros((R, spec.m_pad), jnp.float32)
+    d_pad = d_pad.at[:, :s].set(d_rows)
+    dcoef = jnp.broadcast_to(d_pad[:, :, None], (R, spec.m_pad, 128))
+
+    common = dict(R=R, heads=spec.heads, bm=meta["bm"], bk=meta["bk"],
+                  interpret=bp._interp())
+    dq_p = fs.flash_sparse_bwd_dq(
+        jnp.asarray(meta["block_cols"]),
+        jnp.asarray(meta["nblocks"]),
+        jnp.asarray(meta["mask_slot"]),
+        jnp.asarray(meta["is_partial"]),
+        jnp.asarray(meta["pmask"]),
+        q_p, k_p, v_p, g_p, stats, dcoef,
+        mb=spec.mb, max_bpr=meta["max_bpr"], **common)
+    dk_p, dv_p = fs.flash_sparse_bwd_dkv(
+        jnp.asarray(meta["t_src_i"]),
+        jnp.asarray(meta["t_nblocks"]),
+        jnp.asarray(meta["t_mask_slot"]),
+        jnp.asarray(meta["t_is_partial"]),
+        jnp.asarray(meta["pmask"]),
+        q_p, k_p, v_p, g_p, stats, dcoef,
+        kb=spec.kb, max_bpc=meta["max_bpc"], **common)
+
+    dq = dq_p[:, :s, :hd] * scale
+    dk = dk_p[:, : k.shape[1], :hd]
+    dv = dv_p[:, : v.shape[1], :hd]
+    return dq, dk, dv
 
 
 _fused.defvjp(_fused_f, _fused_b)

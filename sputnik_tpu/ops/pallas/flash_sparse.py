@@ -28,7 +28,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_sparse_attention_fwd", "build_flash_meta"]
+__all__ = ["flash_sparse_attention_fwd", "flash_sparse_bwd_dq",
+           "flash_sparse_bwd_dkv", "build_flash_meta",
+           "build_flash_bwd_meta"]
 
 _NEG_LARGE = -1e30
 
@@ -207,3 +209,239 @@ def flash_sparse_attention_fwd(
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, pmask)
     return out, row_max, row_denom
+
+
+# ---------------------------------------------------------------------------
+# Fused backward. Standard flash-attention backward specialised to the
+# sparse block topology: p is recomputed per occupied block from the saved
+# row stats (m, l); dq accumulates over the row direction (forward's grid),
+# dk/dv accumulate over the column direction (transposed block metadata,
+# like bsr_spmm_t — no value movement).
+# ---------------------------------------------------------------------------
+
+
+def build_flash_bwd_meta(views):
+    """Transposed metadata + per-(col-block, slot) mask slots for dk/dv."""
+    B = len(views)
+    v0 = views[0]
+    kb, bm, bk = v0.kb, v0.bm, v0.bk
+    metas = [v.transpose_meta() for v in views]
+    max_bpc = max(ts.shape[1] for _, ts in metas)
+    ti = np.zeros((B, kb * max_bpc), np.int32)
+    tn = np.zeros((B, kb), np.int32)
+    tslot = np.zeros((B, kb * max_bpc), np.int32)   # mask slot of src block
+    tpart = np.zeros((B, kb * max_bpc), np.int32)
+    fmeta = build_flash_meta(views)
+    mb = v0.mb
+    max_bpr = fmeta["max_bpr"]
+    for b, (tnb, tsrc) in enumerate(metas):
+        pad = np.zeros((kb, max_bpc, 2), np.int32)
+        pad[:, : tsrc.shape[1]] = tsrc
+        for j in range(kb):
+            nb = int(tnb[j])
+            if 0 < nb < max_bpc:
+                pad[j, nb:] = pad[j, nb - 1]
+        ti[b] = pad[:, :, 0].reshape(-1)
+        tn[b] = tnb
+        sl = fmeta["mask_slot"][b].reshape(mb, max_bpr)
+        pt = fmeta["is_partial"][b].reshape(mb, max_bpr)
+        for j in range(kb):
+            for u in range(max_bpc):
+                i_src, s_src = pad[j, u]
+                tslot[b, j * max_bpc + u] = sl[i_src, s_src]
+                tpart[b, j * max_bpc + u] = (
+                    pt[i_src, s_src] if u < max(int(tnb[j]), 1) else 0)
+    return dict(t_src_i=ti, t_nblocks=tn, t_mask_slot=tslot,
+                t_is_partial=tpart, max_bpc=int(max_bpc),
+                **{k: fmeta[k] for k in
+                   ("block_cols", "nblocks", "mask_slot", "is_partial",
+                    "pmask", "max_bpr", "mb", "bm", "bk")})
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "heads", "mb", "max_bpr", "bm", "bk", "interpret"))
+def flash_sparse_bwd_dq(
+    block_cols, nblocks, mask_slot, is_partial, pmask,
+    q, k, v, g, stats,  # stats f32[R, mb*bm, 128]: lanes 0/1 = m / l
+    dcoef,              # f32[R, mb*bm, 128]: D = rowsum(g*out), broadcast
+    *, R, heads, mb, max_bpr, bm, bk, interpret=False,
+):
+    """dq (w.r.t. the PRE-SCALED q): f32[R, mb*bm, hd_pad]."""
+    hd_pad = q.shape[-1]
+
+    def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
+               q_ref, k_ref, v_ref, g_ref, st_ref, d_ref, pm_ref,
+               dq_ref, acc):
+        r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        b = r // heads
+
+        @pl.when(s == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        @pl.when(s < nblk_ref[b, i])
+        def _():
+            sc = jax.lax.dot_general(
+                q_ref[0], k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            partial = part_ref[b, i * max_bpr + s] == 1
+            sc = jnp.where(
+                jnp.logical_and(partial, pm_ref[0, 0] == 0), _NEG_LARGE, sc)
+            m_row = st_ref[0][:, :1]
+            l_row = jnp.maximum(st_ref[0][:, 1:2], 1e-30)
+            p = jnp.exp(sc - m_row) / l_row
+            p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
+            dp = jax.lax.dot_general(
+                g_ref[0], v_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - d_ref[0][:, :1])
+            acc[:] += jax.lax.dot(
+                ds, k_ref[0], preferred_element_type=jnp.float32)
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            dq_ref[0] = acc[:]
+
+    L = mb * max_bpr
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(R, mb, max_bpr),
+            in_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r, c[r // heads, i * max_bpr + s], 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r, c[r // heads, i * max_bpr + s], 0)),
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r // heads, sl[r // heads, i * max_bpr + s], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, hd_pad),
+                                   lambda r, i, s, *p: (r, i, 0)),
+            scratch_shapes=[pltpu.VMEM((bm, hd_pad), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
+      dcoef, pmask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "heads", "kb", "max_bpc", "bm", "bk", "interpret"))
+def flash_sparse_bwd_dkv(
+    t_src_i, t_nblocks, t_mask_slot, t_is_partial, pmask,
+    q, k, v, g, stats, dcoef,
+    *, R, heads, kb, max_bpc, bm, bk, interpret=False,
+):
+    """(dk, dv): each f32[R, kb*bk, hd_pad]."""
+    hd_pad = q.shape[-1]
+    L = kb * max_bpc
+
+    def kernel(ti_ref, tn_ref, slot_ref, part_ref,
+               q_ref, k_ref, v_ref, g_ref, st_ref, d_ref, pm_ref,
+               dk_ref, dv_ref, acck, accv):
+        r, j, u = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        b = r // heads
+
+        @pl.when(u == 0)
+        def _():
+            acck[:] = jnp.zeros_like(acck)
+            accv[:] = jnp.zeros_like(accv)
+
+        @pl.when(u < tn_ref[b, j])
+        def _():
+            # block (i_src, s) at column j: rows = row-block i_src
+            sc = jax.lax.dot_general(
+                q_ref[0], k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [bm, bk]
+            partial = part_ref[b, j * max_bpc + u] == 1
+            sc = jnp.where(
+                jnp.logical_and(partial, pm_ref[0, 0] == 0), _NEG_LARGE, sc)
+            m_row = st_ref[0][:, :1]
+            l_row = jnp.maximum(st_ref[0][:, 1:2], 1e-30)
+            p = jnp.exp(sc - m_row) / l_row
+            p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
+            dp = jax.lax.dot_general(
+                g_ref[0], v_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - d_ref[0][:, :1])
+            acck[:] += jax.lax.dot_general(
+                ds, q_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [bk, hd]
+            accv[:] += jax.lax.dot_general(
+                p, g_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [bk, hd]
+
+        @pl.when(u == max_bpc - 1)
+        def _():
+            dk_ref[0] = acck[:]
+            dv_ref[0] = accv[:]
+
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(R, kb, max_bpc),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, bm, hd_pad),
+                    lambda r, j, u, a, tn, sl, pt: (
+                        r, a[r // heads, j * max_bpc + u], 0)),
+                pl.BlockSpec((1, bk, hd_pad), lambda r, j, u, *p: (r, j, 0)),
+                pl.BlockSpec((1, bk, hd_pad), lambda r, j, u, *p: (r, j, 0)),
+                pl.BlockSpec(
+                    (1, bm, hd_pad),
+                    lambda r, j, u, a, tn, sl, pt: (
+                        r, a[r // heads, j * max_bpc + u], 0)),
+                pl.BlockSpec(
+                    (1, bm, 128),
+                    lambda r, j, u, a, tn, sl, pt: (
+                        r, a[r // heads, j * max_bpc + u], 0)),
+                pl.BlockSpec(
+                    (1, bm, 128),
+                    lambda r, j, u, a, tn, sl, pt: (
+                        r, a[r // heads, j * max_bpc + u], 0)),
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda r, j, u, a, tn, sl, pt: (
+                        r // heads, sl[r // heads, j * max_bpc + u], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, hd_pad), lambda r, j, u, *p: (r, j, 0)),
+                pl.BlockSpec((1, bk, hd_pad), lambda r, j, u, *p: (r, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, hd_pad), jnp.float32),
+                pltpu.VMEM((bk, hd_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((R, kb * bk, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R, kb * bk, hd_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(t_src_i, t_nblocks, t_mask_slot, t_is_partial, q, k, v, g, stats,
+      dcoef, pmask)
+    return dk, dv

@@ -23,7 +23,6 @@ import numpy as np
 
 import jax
 
-from ..ops import api as ops
 from ..ops import panel_api as P
 from ..topology import SparseTopology
 from .linear import SparseLinear

@@ -24,8 +24,6 @@ Differences, TPU-first:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

@@ -27,6 +27,8 @@ __all__ = [
     "init_range",
     "causal_mask",
     "local_window_mask",
+    "local_window_topology",
+    "causal_topology",
     "random_mask_batch",
 ]
 
@@ -121,3 +123,37 @@ def random_mask_batch(
         for i in range(b)
     ]
     return np.stack(masks)
+
+
+def causal_topology(s: int, *, band: Optional[int] = None):
+    """Causal (optionally banded) ``SparseTopology`` built analytically in
+    CSR — no dense ``[s, s]`` mask materialisation, so sequence length is
+    not capped by host memory (the reference materialises dense masks and
+    tops out at s=512, SURVEY.md §5)."""
+    from .topology import SparseTopology
+
+    starts = (np.maximum(np.arange(s) - (band - 1), 0)
+              if band is not None else np.zeros(s, np.int64))
+    ends = np.arange(s, dtype=np.int64) + 1
+    lengths = ends - starts
+    row_offsets = np.zeros(s + 1, np.int32)
+    np.cumsum(lengths, out=row_offsets[1:])
+    cols = np.concatenate(
+        [np.arange(a, b, dtype=np.int32) for a, b in zip(starts, ends)])
+    return SparseTopology(s, s, row_offsets, cols)
+
+
+def local_window_topology(s: int, window: int):
+    """Symmetric local-window ``SparseTopology`` (|i-j| < window) built
+    analytically in CSR (see ``causal_topology``)."""
+    from .topology import SparseTopology
+
+    i = np.arange(s, dtype=np.int64)
+    starts = np.maximum(i - (window - 1), 0)
+    ends = np.minimum(i + window, s)
+    lengths = ends - starts
+    row_offsets = np.zeros(s + 1, np.int32)
+    np.cumsum(lengths, out=row_offsets[1:])
+    cols = np.concatenate(
+        [np.arange(a, b, dtype=np.int32) for a, b in zip(starts, ends)])
+    return SparseTopology(s, s, row_offsets, cols)

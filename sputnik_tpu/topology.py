@@ -38,7 +38,6 @@ TPU-first design decisions (vs. the reference's CUDA layout):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import numpy as np

@@ -15,8 +15,6 @@ import contextlib
 import time
 from typing import Callable, Dict
 
-import numpy as np
-
 __all__ = ["measure", "trace", "roofline", "CHIP_SPECS"]
 
 # peak (HBM GB/s, bf16-matmul TFLOP/s) per chip kind substring

@@ -10,6 +10,7 @@ operands replicated or column-sharded, XLA collectives (``psum`` /
 """
 
 from .partition import RowPartition
+from .flash_sharded import ShardedFlashSpec, flash_attention_sharded
 from .sharded_ops import (
     sharded_sddmm,
     sharded_softmax,
@@ -20,6 +21,8 @@ from .sharded_ops import (
 
 __all__ = [
     "RowPartition",
+    "ShardedFlashSpec",
+    "flash_attention_sharded",
     "sharded_spmm",
     "sharded_spmm_t",
     "sharded_sddmm",

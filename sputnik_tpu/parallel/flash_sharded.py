@@ -1,0 +1,257 @@
+"""Sequence-parallel fused sparse attention (sharded sparse-flash).
+
+Combines the distribution layer with the fused attention kernel: the score
+topology is row(=query)-partitioned over a mesh axis (``RowPartition``),
+each device runs the sparse-flash kernel over its own query band's occupied
+key blocks (per-shard block metadata travels as stacked device-varying
+data), and K/V are replicated. Communication: the forward is
+communication-free; in the backward only dk/dv — partial sums over the
+globally-shared key axis — pay one ``psum`` over ICI.
+
+This is the BASELINE north-star sequence scaling: each shard holds only
+its query rows' CSR slice and touches only the K/V columns its nonzeros
+reference, with scores never materialised in HBM on any device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.pallas import flash_sparse as fs
+from .partition import RowPartition
+
+__all__ = ["ShardedFlashSpec", "flash_attention_sharded"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _stack_padded(metas, key, pad_mode="repeat_last"):
+    """Stack per-shard meta arrays (each [1, L_d]) to [ndev, L_max]."""
+    arrs = [m[key][0] for m in metas]
+    L = max(a.shape[0] for a in arrs)
+    out = np.zeros((len(arrs), L), arrs[0].dtype)
+    for d, a in enumerate(arrs):
+        out[d, : a.shape[0]] = a
+        if a.shape[0] < L and pad_mode == "repeat_last" and a.shape[0] > 0:
+            out[d, a.shape[0]:] = a[-1]
+    return out
+
+
+class ShardedFlashSpec:
+    """Static bundle: row partition + per-shard flash metadata, stacked."""
+
+    def __init__(self, part: RowPartition, *, heads: int = 1,
+                 bm: int = 128, bk: int = 128,
+                 mesh: Optional[Mesh] = None, axis: str = "sp"):
+        self.part = part
+        self.heads = heads
+        self.mesh, self.axis = mesh, axis
+        views = [s.block(bm, bk) for s in part.shards]
+        self.views = views
+        v0 = views[0]
+        self.mb, self.kb = v0.mb, v0.kb
+        self.bm, self.bk = bm, bk
+        self.m_pad_loc, self.n_pad = v0.m_pad, v0.n_pad
+
+        fmetas = [fs.build_flash_bwd_meta([v]) for v in views]
+        # uniform max_bpr / max_bpc across shards
+        self.max_bpr = max(m["max_bpr"] for m in fmetas)
+        self.max_bpc = max(m["max_bpc"] for m in fmetas)
+
+        def stack2(key, per_row, maxlen):
+            """Stack [1, rows*len_d] arrays reshaped per row to padded len."""
+            outs = []
+            for m in fmetas:
+                a = m[key][0]
+                rows = per_row
+                len_d = a.shape[0] // rows
+                pad = np.zeros((rows, maxlen), a.dtype)
+                pad[:, :len_d] = a.reshape(rows, len_d)
+                if len_d < maxlen:
+                    pad[:, len_d:] = pad[:, len_d - 1: len_d]
+                outs.append(pad.reshape(-1))
+            return np.stack(outs)
+
+        self.block_cols = stack2("block_cols", self.mb, self.max_bpr)
+        self.mask_slot = stack2("mask_slot", self.mb, self.max_bpr)
+        self.is_partial_ = np.stack([
+            _pad_flat(m["is_partial"][0], self.mb, self.max_bpr, zero=True)
+            for m in fmetas])
+        self.nblocks = np.stack([m["nblocks"][0] for m in fmetas])
+
+        self.t_src_i = stack2("t_src_i", self.kb, self.max_bpc)
+        self.t_mask_slot = stack2("t_mask_slot", self.kb, self.max_bpc)
+        self.t_is_partial = np.stack([
+            _pad_flat(m["t_is_partial"][0], self.kb, self.max_bpc, zero=True)
+            for m in fmetas])
+        self.t_nblocks = np.stack([m["t_nblocks"][0] for m in fmetas])
+
+        npart = max(m["pmask"].shape[1] for m in fmetas)
+        self.pmask = np.zeros(
+            (part.ndev, npart, bm, bk), np.float32)
+        for d, m in enumerate(fmetas):
+            self.pmask[d, : m["pmask"].shape[1]] = m["pmask"][0]
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+def _pad_flat(a, rows, maxlen, zero=False):
+    len_d = a.shape[0] // rows
+    pad = np.zeros((rows, maxlen), a.dtype)
+    pad[:, :len_d] = a.reshape(rows, len_d)
+    return pad.reshape(-1)
+
+
+def _smap(spec, fn, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=spec.mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def _meta_args(spec):
+    return tuple(jnp.asarray(x) for x in (
+        spec.block_cols, spec.nblocks, spec.mask_slot, spec.is_partial_,
+        spec.pmask))
+
+
+def _t_meta_args(spec):
+    return tuple(jnp.asarray(x) for x in (
+        spec.t_src_i, spec.t_nblocks, spec.t_mask_slot, spec.t_is_partial,
+        spec.pmask))
+
+
+def _fwd_sharded(spec, q_sh, k, v, scale, hd):
+    """q_sh [ndev, R, m_pad_loc, hd_pad] (pre-scaled+padded);
+    k, v [R, n_pad, hd_pad] replicated. Returns (out, m, l) sharded."""
+    R = q_sh.shape[1]
+    x = spec.axis
+
+    def local(cols, nblk, slot, part, pmask, q, kk, vv):
+        out, m, l = fs.flash_sparse_attention_fwd(
+            cols[0][None], nblk[0][None], slot[0][None], part[0][None],
+            pmask[0][None], q[0], kk, vv,
+            R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
+            bm=spec.bm, bk=spec.bk, interpret=_interp())
+        return out[None], m[None], l[None]
+
+    fn = _smap(
+        spec, local,
+        in_specs=(P(x), P(x), P(x), P(x), P(x),
+                  P(x), P(None, None, None), P(None, None, None)),
+        out_specs=(P(x), P(x), P(x)),
+    )
+    return fn(*_meta_args(spec), q_sh, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def _flash_sh(spec, q_sh, k, v, scale):
+    out, _, _ = _fwd_sharded(spec, *_prep(spec, q_sh, k, v, scale))
+    return out
+
+
+def _prep(spec, q_sh, k, v, scale):
+    hd = q_sh.shape[-1]
+    hd_pad = _round_up(max(hd, 1), 128)
+    ndev, R = q_sh.shape[0], q_sh.shape[1]
+    q_p = jnp.zeros((ndev, R, spec.m_pad_loc, hd_pad), q_sh.dtype)
+    q_p = q_p.at[:, :, : q_sh.shape[2], :hd].set(q_sh * scale)
+    k_p = jnp.zeros((R, spec.n_pad, hd_pad), k.dtype)
+    k_p = k_p.at[:, : k.shape[1], :hd].set(k)
+    v_p = jnp.zeros((R, spec.n_pad, hd_pad), v.dtype)
+    v_p = v_p.at[:, : v.shape[1], :hd].set(v)
+    return q_p, k_p, v_p, scale, hd
+
+
+def _flash_sh_fwd(spec, q_sh, k, v, scale):
+    q_p, k_p, v_p, _, hd = _prep(spec, q_sh, k, v, scale)
+    out, m, l = _fwd_sharded(spec, q_p, k_p, v_p, scale, hd)
+    return out, (q_sh, k, v, q_p, k_p, v_p, out, m, l)
+
+
+def _flash_sh_bwd(spec, scale, res, g):
+    q_sh, k, v, q_p, k_p, v_p, out, m_st, l_st = res
+    ndev, R = q_p.shape[0], q_p.shape[1]
+    hd = q_sh.shape[-1]
+    hd_pad = q_p.shape[-1]
+    x = spec.axis
+
+    g_p = g  # cotangent of the (padded) kernel output; zeros in padding
+
+    stats = jnp.concatenate(
+        [m_st[:, :, :, :1], l_st[:, :, :, :1],
+         jnp.zeros(m_st.shape[:3] + (126,), jnp.float32)], axis=3)
+    d_rows = jnp.sum(g_p * out, axis=-1)           # [ndev, R, m_pad_loc]
+    dcoef = jnp.broadcast_to(
+        d_rows[..., None], d_rows.shape + (128,))
+
+    def local_dq(cols, nblk, slot, part, pmask, q, kk, vv, gg, st, dc):
+        dq = fs.flash_sparse_bwd_dq(
+            cols[0][None], nblk[0][None], slot[0][None], part[0][None],
+            pmask[0][None], q[0], kk, vv, gg[0], st[0], dc[0],
+            R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
+            bm=spec.bm, bk=spec.bk, interpret=_interp())
+        return dq[None]
+
+    dq_p = _smap(
+        spec, local_dq,
+        in_specs=(P(x), P(x), P(x), P(x), P(x), P(x),
+                  P(None, None, None), P(None, None, None),
+                  P(x), P(x), P(x)),
+        out_specs=P(x),
+    )(*_meta_args(spec), q_p, k_p, v_p, g_p, stats, dcoef)
+
+    def local_dkv(ti, tn, tsl, tpt, pmask, q, kk, vv, gg, st, dc):
+        dk, dv = fs.flash_sparse_bwd_dkv(
+            ti[0][None], tn[0][None], tsl[0][None], tpt[0][None],
+            pmask[0][None], q[0], kk, vv, gg[0], st[0], dc[0],
+            R=R, heads=R, kb=spec.kb, max_bpc=spec.max_bpc,
+            bm=spec.bm, bk=spec.bk, interpret=_interp())
+        dk = jax.lax.psum(dk, spec.axis)
+        dv = jax.lax.psum(dv, spec.axis)
+        return dk[None], dv[None]
+
+    dk_p, dv_p = _smap(
+        spec, local_dkv,
+        in_specs=(P(x), P(x), P(x), P(x), P(x), P(x),
+                  P(None, None, None), P(None, None, None),
+                  P(x), P(x), P(x)),
+        out_specs=(P(x), P(x)),
+    )(*_t_meta_args(spec), q_p, k_p, v_p, g_p, stats, dcoef)
+
+    dq = dq_p[:, :, : q_sh.shape[2], :hd] * scale
+    dk = dk_p[0][:, : k.shape[1], :hd]
+    dv = dv_p[0][:, : v.shape[1], :hd]
+    return dq, dk, dv
+
+
+_flash_sh.defvjp(_flash_sh_fwd, _flash_sh_bwd)
+
+
+def flash_attention_sharded(spec: ShardedFlashSpec, q_sh, k, v,
+                            scale=None):
+    """Sequence-parallel fused sparse attention.
+
+    ``q_sh [ndev, R, s_loc, hd]`` query-sharded over the mesh axis (rows in
+    partition order — apply ``spec.part.perm`` if balanced); ``k, v
+    [R, s, hd]`` replicated. Returns query-sharded ``[ndev, R, s_loc, hd]``
+    (trimmed to ``s_loc`` rows).
+    """
+    if scale is None:
+        scale = 1.0 / np.sqrt(q_sh.shape[-1])
+    out = _flash_sh(spec, q_sh, k, v, float(scale))
+    return out[:, :, : q_sh.shape[2], : q_sh.shape[-1]]

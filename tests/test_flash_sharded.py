@@ -1,0 +1,72 @@
+"""Sequence-parallel fused sparse attention on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+import sputnik_tpu as st
+from sputnik_tpu.parallel import RowPartition
+from sputnik_tpu.parallel.flash_sharded import (
+    ShardedFlashSpec,
+    flash_attention_sharded,
+)
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < NDEV:
+        pytest.skip(f"need {NDEV} devices")
+    return Mesh(np.array(devs[:NDEV]), ("sp",))
+
+
+def _dense_ref(mask, q, k, v):
+    hd = q.shape[-1]
+    sc = np.einsum("rqd,rkd->rqk", q, k) / np.sqrt(hd)
+    sc = np.where(mask != 0, sc, -1e30)
+    e = np.exp(sc - sc.max(-1, keepdims=True)) * (mask != 0)
+    w = e / np.maximum(e.sum(-1, keepdims=True), 1e-30)
+    return np.einsum("rqk,rkd->rqd", w, v)
+
+
+def test_sharded_flash_fwd_bwd_vs_dense(mesh):
+    rng = np.random.RandomState(0)
+    s, hd, R = 320, 32, 3
+    mask = np.tril(np.ones((s, s), np.float32))
+    mask[5, :] = 0.0
+    part = RowPartition(st.SparseTopology.from_dense_mask(mask), NDEV,
+                        bm=8, balance=False)
+    spec = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh, axis="sp")
+    q = rng.randn(R, s, hd).astype(np.float32)
+    k = rng.randn(R, s, hd).astype(np.float32)
+    v = rng.randn(R, s, hd).astype(np.float32)
+    q_sh = jnp.asarray(q.reshape(R, NDEV, s // NDEV, hd).transpose(1, 0, 2, 3))
+
+    out = jax.jit(lambda a, b, c: flash_attention_sharded(spec, a, b, c))(
+        q_sh, jnp.asarray(k), jnp.asarray(v))
+    got = np.asarray(out).transpose(1, 0, 2, 3).reshape(R, s, hd)
+    ref = _dense_ref(mask, q, k, v)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    assert np.all(got[:, 5] == 0)  # fully-masked row
+
+    gq, gk, gv = jax.jit(jax.grad(
+        lambda a, b, c: jnp.sum(flash_attention_sharded(spec, a, b, c) ** 2),
+        argnums=(0, 1, 2)))(q_sh, jnp.asarray(k), jnp.asarray(v))
+
+    def dense(qq, kk, vv):
+        scd = jnp.einsum("rqd,rkd->rqk", qq, kk) / np.sqrt(hd)
+        scd = jnp.where(jnp.asarray(mask) != 0, scd, -1e30)
+        wd = jax.nn.softmax(scd, axis=-1) * (jnp.asarray(mask) != 0)
+        return jnp.einsum("rqk,rkd->rqd", wd, vv)
+
+    gq_d, gk_d, gv_d = jax.grad(
+        lambda a, b, c: jnp.sum(dense(a, b, c) ** 2),
+        argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gq_got = np.asarray(gq).transpose(1, 0, 2, 3).reshape(R, s, hd)
+    np.testing.assert_allclose(gq_got, np.asarray(gq_d), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_d), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_d), atol=1e-2)

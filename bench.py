@@ -60,7 +60,7 @@ def main():
 
     if api == "panel":
         # forward-optimal tiles (see ops/panel_api.default_block docstring)
-        bm, bk = (1024, 128) if size >= 2048 else (128, 128)
+        bm, bk = (1024, 256) if size >= 2048 else (128, 128)
         spec = P.PanelSpec(topo, bm=bm, bk=bk,
                            bn=1024 if size >= 2048 else None)
         values = jnp.asarray(P.values_to_panel_np(topo, mat.values, bm, bk))

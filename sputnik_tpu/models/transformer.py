@@ -67,7 +67,7 @@ class SparseCoreAttention(nn.Module):
 
     mask_topology: mm.ManyMaskTopology
     num_heads: int
-    layout: str = "panel"
+    layout: str = "flash"
     flash_block: int = 512
 
     def _panel_spec(self, bm=128, bk=128):
@@ -96,7 +96,7 @@ class SparseCoreAttention(nn.Module):
             return x.reshape(b * h, s, hd)
 
         q3, k3, v3 = fold(q), fold(k), fold(v)
-        scale = 1.0 / jnp.sqrt(float(hd))
+        scale = 1.0 / float(np.sqrt(hd))
         if self.layout == "flash":
             from ..ops.fused_attention import fused_sparse_attention
 
@@ -122,7 +122,7 @@ class SparseSelfAttention(nn.Module):
     mask_topology: mm.ManyMaskTopology
     hidden_size: int
     num_heads: int
-    attention_layout: str = "panel"
+    attention_layout: str = "flash"
 
     @nn.compact
     def __call__(self, x):
@@ -175,7 +175,7 @@ class TransformerLayer(nn.Module):
     activation: Optional[str] = None
     use_residual: bool = False
     use_layernorm: bool = False
-    attention_layout: str = "panel"
+    attention_layout: str = "flash"
 
     @nn.compact
     def __call__(self, x):
@@ -213,7 +213,7 @@ class SparseTransformer(nn.Module):
     activation: Optional[str] = None
     use_residual: bool = False
     use_layernorm: bool = False
-    attention_layout: str = "panel"
+    attention_layout: str = "flash"
 
     @classmethod
     def from_masks(cls, masks: np.ndarray, **kwargs) -> "SparseTransformer":

@@ -81,8 +81,9 @@ def test_transformer_flash_layout_matches_panel():
     q = jnp.asarray(rng.randn(b, s, heads, h // heads).astype(np.float32))
     k = jnp.asarray(rng.randn(b, s, heads, h // heads).astype(np.float32))
     v = jnp.asarray(rng.randn(b, s, heads, h // heads).astype(np.float32))
-    out_f = SparseCoreAttention(mask_topology=mt, num_heads=heads,
-                                layout="flash").apply({}, q, k, v)
+    attn_f = SparseCoreAttention(mask_topology=mt, num_heads=heads,
+                                 layout="flash")
+    out_f = jax.jit(lambda a, b, c: attn_f.apply({}, a, b, c))(q, k, v)
     out_p = SparseCoreAttention(mask_topology=mt, num_heads=heads,
                                 layout="panel").apply({}, q, k, v)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),

@@ -58,19 +58,20 @@ def bench_attention_core(name, mask, r, hd=64):
     from sputnik_tpu import many_mask as mm
     from sputnik_tpu.ops import batched_panel as bp
 
+    from sputnik_tpu.ops.fused_attention import fused_sparse_attention
+
     s = mask.shape[0]
     rng = np.random.RandomState(0)
     mt = mm.ManyMaskTopology.from_dense_masks(mask[None])
-    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=r)
+    blk = 512 if s >= 512 else 128
+    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=r, bm=blk, bk=blk)
     q = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
     k = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
     v = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
 
     @jax.jit
     def sparse_attn(q, k, v):
-        sc = bp.sddmm_bh(spec, q, k) / np.sqrt(hd)
-        w = bp.sparse_softmax_bh(spec, sc)
-        return bp.spmm_bh(spec, w, v)
+        return fused_sparse_attention(spec, q, k, v)
 
     mask_j = jnp.asarray(mask)
 

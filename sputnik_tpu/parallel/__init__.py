@@ -13,6 +13,7 @@ from .partition import RowPartition
 from .flash_sharded import ShardedFlashSpec, flash_attention_sharded
 from .sharded_ops import (
     sharded_sddmm,
+    sharded_spmm_halo,
     sharded_softmax,
     sharded_spmm,
     sharded_spmm_t,
@@ -24,6 +25,7 @@ __all__ = [
     "ShardedFlashSpec",
     "flash_attention_sharded",
     "sharded_spmm",
+    "sharded_spmm_halo",
     "sharded_spmm_t",
     "sharded_sddmm",
     "sharded_softmax",

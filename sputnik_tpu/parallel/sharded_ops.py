@@ -38,6 +38,7 @@ from .partition import RowPartition
 __all__ = [
     "ShardedPanelSpec",
     "sharded_spmm",
+    "sharded_spmm_halo",
     "sharded_spmm_t",
     "sharded_sddmm",
     "sharded_softmax",
@@ -360,3 +361,64 @@ def _pad3(spec, x):
     d_pad = _round_up(max(x.shape[-1], 1), 128)
     out = jnp.zeros((x.shape[0], spec.m_pad_loc, d_pad), x.dtype)
     return out.at[:, : x.shape[1], : x.shape[2]].set(x)
+
+
+# ---------------------------------------------------------------------------
+# Column-sharded-RHS variant: halo exchange of dense rows.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def sharded_spmm_halo(spec, panels, dense_sh):
+    """Row-partitioned sparse x ROW-SHARDED dense RHS.
+
+    ``dense_sh [ndev, n_loc, q]`` holds each device's band of the dense
+    operand's rows (the BASELINE north-star layout: dense RHS sharded, not
+    replicated). Each device all-gathers the dense rows its CSR slice's
+    ``column_indices`` touch — here as a dense ``all_gather`` over the mesh
+    axis ("halo rows ... via allgather", SURVEY.md §5), overlapped with
+    compute by XLA's latency-hiding scheduler; restricting the exchange to
+    the touched *blocks* (ragged all-to-all) is the refinement noted in
+    CLAUDE.md. Output is row-sharded ``[ndev, m_pad_loc, q_pad]``.
+    """
+    return _raw_spmm_halo(spec, panels, dense_sh)
+
+
+def _raw_spmm_halo(spec, panels, dense_sh):
+    q = dense_sh.shape[-1]
+    q_pad = _round_up(max(q, 1), 128)
+    cols = jnp.asarray(spec.block_cols)
+    nblk = jnp.asarray(spec.nblocks)
+    x = spec.axis
+
+    def local(c, nb, p, d_loc):
+        d_full = jax.lax.all_gather(d_loc[0], x, tiled=True)  # [n, q]
+        d_pad = jnp.zeros((spec.n_pad, q_pad), d_full.dtype)
+        d_pad = d_pad.at[: d_full.shape[0], :q].set(d_full)
+        return _local_spmm(spec, c, nb, p, d_pad, q_pad)
+
+    fn = _smap(
+        spec, local,
+        in_specs=(P(x), P(x), P(x), P(x)),
+        out_specs=P(x),
+    )
+    return fn(cols, nblk, panels, dense_sh)
+
+
+def _sh_spmm_halo_fwd(spec, panels, dense_sh):
+    return _raw_spmm_halo(spec, panels, dense_sh), (panels, dense_sh)
+
+
+def _sh_spmm_halo_bwd(spec, res, g):
+    panels, dense_sh = res
+    ndev, n_loc, q = dense_sh.shape
+    # d_panels: sddmm against the re-gathered dense rows
+    d_full = jnp.reshape(dense_sh, (ndev * n_loc, q))
+    d_panels = _raw_sddmm(spec, g, d_full)
+    # d_dense: A^T @ g is replicated [n_pad, q_pad]; re-shard its rows
+    d_dense_full = _raw_spmm_t(spec, panels, g)[: ndev * n_loc, :q]
+    d_dense = jnp.reshape(d_dense_full, (ndev, n_loc, q))
+    return d_panels, d_dense
+
+
+sharded_spmm_halo.defvjp(_sh_spmm_halo_fwd, _sh_spmm_halo_bwd)

@@ -140,3 +140,19 @@ def test_vmap_batched_panel_ops(problem):
     A = problem["A"]
     ref = jnp.einsum("mk,rkq->rmq", A, dense3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_bf16_operands(problem):
+    """bf16 values/dense with f32 accumulation (production serving mode)."""
+    spec, panel, dense = problem["spec"], problem["panel"], problem["dense"]
+    A = problem["A"]
+    st.set_backend("pallas")
+    try:
+        out = P.spmm(spec, panel.astype(jnp.bfloat16),
+                     dense.astype(jnp.bfloat16))
+    finally:
+        st.set_backend("auto")
+    assert out.dtype == jnp.float32
+    ref = np.asarray(A @ dense)
+    rel = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel

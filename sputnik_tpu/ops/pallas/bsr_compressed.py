@@ -1,0 +1,153 @@
+"""Compressed (true-BSR) SpMM kernels: offset-indexed block storage.
+
+Same compute as ``bsr_spmm`` / ``bsr_spmm_t`` but the values panel is the
+``CompressedView`` layout ``[num_blocks + 1, bm, bk]`` addressed through
+scalar-prefetched per-row-block offsets — no ELL padding, so topologies
+with skewed per-row block counts (e.g. one dense row among sparse ones, a
+common shape in graph workloads) don't inflate memory to ``mb * max_bpr``
+tiles. The grid's slot dimension is still bounded by the *maximum* real
+blocks-per-row-block; slots past a row-block's count are predicated off
+and their index maps clamp to the dump block (index unchanged -> DMA
+elided).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["bsr_spmm_panel_c", "bsr_spmm_t_panel_c"]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mb", "max_bpr", "num_blocks", "bm", "bk", "bn", "epilogue",
+    "interpret"))
+def bsr_spmm_panel_c(
+    block_offsets,         # i32[mb + 1] (scalar prefetch)
+    block_cols,            # i32[num_blocks + 1]
+    values,                # f32[num_blocks + 1, bm, bk]
+    dense,                 # f32[kb*bk, n_pad]
+    bias,                  # f32[mb*bm, 1]
+    *,
+    mb: int,
+    max_bpr: int,
+    num_blocks: int,
+    bm: int,
+    bk: int,
+    bn: int,
+    epilogue: str = "none",
+    interpret: bool = False,
+):
+    n_pad = dense.shape[1]
+    nb = n_pad // bn
+
+    def gblk(offs, i, s):
+        return jnp.minimum(offs[i] + s, num_blocks)
+
+    def kernel(offs_ref, cols_ref, vals_ref, dense_ref, bias_ref, out_ref):
+        i = pl.program_id(0)
+        s = pl.program_id(2)
+
+        @pl.when(s == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(offs_ref[i] + s < offs_ref[i + 1])
+        def _():
+            out_ref[:] += jax.lax.dot(
+                vals_ref[0], dense_ref[:],
+                preferred_element_type=jnp.float32)
+
+        if epilogue != "none":
+            @pl.when(s == max_bpr - 1)
+            def _():
+                pre = out_ref[:] + bias_ref[:]
+                out_ref[:] = (jnp.maximum(pre, 0.0)
+                              if epilogue == "bias_relu" else pre)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(mb, nb, max_bpr),
+            in_specs=[
+                pl.BlockSpec((1, bm, bk),
+                             lambda i, j, s, offs, cols: (
+                                 gblk(offs, i, s), 0, 0)),
+                pl.BlockSpec((bk, bn),
+                             lambda i, j, s, offs, cols: (
+                                 cols[gblk(offs, i, s)], j)),
+                pl.BlockSpec((bm, 1), lambda i, j, s, offs, cols: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn),
+                                   lambda i, j, s, offs, cols: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_offsets, block_cols, values, dense, bias)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kb", "max_bpc", "num_blocks", "bm", "bk", "bq", "interpret"))
+def bsr_spmm_t_panel_c(
+    t_gblk,                # i32[kb * max_bpc] global block ids
+    t_rows,                # i32[kb * max_bpc] source row-blocks
+    t_nblocks,             # i32[kb]
+    values,                # f32[num_blocks + 1, bm, bk]
+    g,                     # f32[mb*bm, q_pad]
+    *,
+    kb: int,
+    max_bpc: int,
+    num_blocks: int,
+    bm: int,
+    bk: int,
+    bq: int,
+    interpret: bool = False,
+):
+    q_pad = g.shape[1]
+    qb = q_pad // bq
+
+    def kernel(gb_ref, tr_ref, tn_ref, vals_ref, g_ref, out_ref):
+        j = pl.program_id(0)
+        u = pl.program_id(2)
+
+        @pl.when(u == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(u < tn_ref[j])
+        def _():
+            out_ref[:] += jax.lax.dot_general(
+                vals_ref[0], g_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(kb, qb, max_bpc),
+            in_specs=[
+                pl.BlockSpec((1, bm, bk),
+                             lambda j, q, u, gb, tr, tn: (
+                                 gb[j * max_bpc + u], 0, 0)),
+                pl.BlockSpec((bm, bq),
+                             lambda j, q, u, gb, tr, tn: (
+                                 tr[j * max_bpc + u], q)),
+            ],
+            out_specs=pl.BlockSpec((bk, bq),
+                                   lambda j, q, u, gb, tr, tn: (j, q)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((kb * bk, q_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(t_gblk, t_rows, t_nblocks, values, g)

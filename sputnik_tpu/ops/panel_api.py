@@ -94,33 +94,52 @@ def _interp() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def values_to_panel_np(topo, values: np.ndarray, bm: int, bk: int):
+def _view(topo, bm, bk, compressed=False):
+    if compressed:
+        from ..blocking import build_compressed
+
+        # cache on the (dataclass) BlockView it derives from — the topology
+        # itself is __slots__-only
+        bv = topo.block(bm, bk)
+        cached = getattr(bv, "_compressed_view", None)
+        if cached is None:
+            cached = build_compressed(topo, bm=bm, bk=bk)
+            object.__setattr__(bv, "_compressed_view", cached)
+        return cached
+    return topo.block(bm, bk)
+
+
+def values_to_panel_np(topo, values: np.ndarray, bm: int, bk: int,
+                       *, compressed: bool = False):
     """Host-side CSR values -> panel (module init / checkpoint import)."""
-    bv = topo.block(bm, bk)
+    bv = _view(topo, bm, bk, compressed)
     flat = np.zeros(bv.dump + 1, dtype=np.float32)
     flat[bv.scatter_idx] = np.asarray(values, np.float32)
     return flat[: bv.dump].reshape(bv.values_shape)
 
 
-def panel_to_values_np(topo, panel: np.ndarray, bm: int, bk: int):
+def panel_to_values_np(topo, panel: np.ndarray, bm: int, bk: int,
+                       *, compressed: bool = False):
     """Host-side panel -> CSR values (checkpoint export)."""
-    bv = topo.block(bm, bk)
+    bv = _view(topo, bm, bk, compressed)
     flat = np.concatenate(
         [np.asarray(panel, np.float32).reshape(-1), np.zeros(1, np.float32)]
     )
     return flat[np.minimum(bv.gather_idx, bv.dump)]
 
 
-def values_to_panel(topo, values, bm: int, bk: int):
+def values_to_panel(topo, values, bm: int, bk: int,
+                    *, compressed: bool = False):
     """Device-side scatter (boundary op — NOT for per-step use at scale)."""
-    bv = topo.block(bm, bk)
+    bv = _view(topo, bm, bk, compressed)
     flat = jnp.zeros((bv.dump + 1,), values.dtype)
     flat = flat.at[jnp.asarray(bv.scatter_idx)].set(values)
     return flat[: bv.dump].reshape(bv.values_shape)
 
 
-def panel_to_values(topo, panel, bm: int, bk: int):
-    bv = topo.block(bm, bk)
+def panel_to_values(topo, panel, bm: int, bk: int,
+                    *, compressed: bool = False):
+    bv = _view(topo, bm, bk, compressed)
     flat = jnp.concatenate(
         [panel.reshape(-1), jnp.zeros((1,), panel.dtype)]
     )
@@ -144,29 +163,33 @@ class PanelSpec:
     """Static (topology, bm, bk[, bn]) bundle for panel ops; hashable
     identity. ``bn`` overrides the output-tile width heuristic."""
 
-    __slots__ = ("topo", "bm", "bk", "bn", "_view")
+    __slots__ = ("topo", "bm", "bk", "bn", "compressed", "_view")
 
     def __init__(self, topo, bm: Optional[int] = None,
-                 bk: Optional[int] = None, bn: Optional[int] = None):
+                 bk: Optional[int] = None, bn: Optional[int] = None,
+                 compressed: bool = False):
         dbm, dbk = default_block(topo)
         self.topo = topo
         self.bm = bm or dbm
         self.bk = bk or dbk
         self.bn = bn
-        self._view = topo.block(self.bm, self.bk)
+        self.compressed = compressed
+        self._view = _view(topo, self.bm, self.bk, compressed)
 
     @property
     def view(self):
         return self._view
 
     def __hash__(self):
-        return hash((id(self.topo), self.bm, self.bk, self.bn))
+        return hash((id(self.topo), self.bm, self.bk, self.bn,
+                     self.compressed))
 
     def __eq__(self, other):
         return (
             isinstance(other, PanelSpec)
             and self.topo is other.topo
-            and (self.bm, self.bk, self.bn) == (other.bm, other.bk, other.bn)
+            and (self.bm, self.bk, self.bn, self.compressed)
+            == (other.bm, other.bk, other.bn, other.compressed)
         )
 
     def __repr__(self):
@@ -202,6 +225,19 @@ def _spmm_impl(spec, panel, dense, bias=None, epilogue="none"):
         bias_pad = jnp.zeros((bv.m_pad, 1), jnp.float32)
         if bias is not None:
             bias_pad = bias_pad.at[: t.m, 0].set(bias)
+        if spec.compressed:
+            from .pallas import bsr_compressed as _c
+
+            out = _c.bsr_spmm_panel_c(
+                jnp.asarray(bv.block_offsets),
+                jnp.asarray(bv.block_cols),
+                panel, dense_pad, bias_pad,
+                mb=bv.mb, max_bpr=bv.max_bpr,
+                num_blocks=bv.num_blocks,
+                bm=spec.bm, bk=spec.bk, bn=bn,
+                epilogue=epilogue, interpret=_interp(),
+            )
+            return out[: t.m, :n_out]
         out = _spmm_mod.bsr_spmm_panel(
             jnp.asarray(bv.block_cols.reshape(-1)),
             jnp.asarray(bv.nblocks),
@@ -232,6 +268,19 @@ def _spmm_t_impl(spec, panel, g):
         q_pad = _round_up(max(q_out, 1), bq)
         g_pad = jnp.zeros((bv.m_pad, q_pad), g.dtype)
         g_pad = g_pad.at[: g.shape[0], :q_out].set(g)
+        if spec.compressed:
+            from .pallas import bsr_compressed as _c
+
+            out = _c.bsr_spmm_t_panel_c(
+                jnp.asarray(t_src[:, :, 0].reshape(-1)),
+                jnp.asarray(t_src[:, :, 1].reshape(-1)),
+                jnp.asarray(t_nblocks),
+                panel, g_pad,
+                kb=bv.kb, max_bpc=max_bpc,
+                num_blocks=bv.num_blocks,
+                bm=spec.bm, bk=spec.bk, bq=bq, interpret=_interp(),
+            )
+            return out[: t.n, :q_out]
         out = _spmm_t_mod.bsr_spmm_t_panel(
             jnp.asarray(t_src[:, :, 0].reshape(-1)),
             jnp.asarray(t_src[:, :, 1].reshape(-1)),
@@ -251,7 +300,7 @@ def _spmm_t_impl(spec, panel, g):
 
 def _sddmm_impl(spec, lhs, rhs):
     t, bv = spec.topo, spec.view
-    if _use_kernels():
+    if _use_kernels() and not spec.compressed:
         d = lhs.shape[-1]
         bd = 128
         d_pad = _round_up(max(d, 1), bd)
@@ -277,6 +326,10 @@ _NEG_LARGE = -1e30
 
 def _softmax_impl(spec, panel):
     """Masked row softmax on the panel: reduce over (slot, lane) axes."""
+    if spec.compressed:
+        raise NotImplementedError(
+            "sparse_softmax on compressed panels: use the default (ELL) "
+            "panel layout for softmax-bearing chains")
     mask = jnp.asarray(spec.view.mask)
     v = jnp.where(mask, panel, _NEG_LARGE)
     row_max = jnp.max(v, axis=(1, 3), keepdims=True)

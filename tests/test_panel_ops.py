@@ -156,3 +156,46 @@ def test_bf16_operands(problem):
     ref = np.asarray(A @ dense)
     rel = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
     assert rel < 2e-2, rel
+
+
+def test_compressed_panel_skewed_topology():
+    """True-BSR layout: a block-diagonal matrix with one dense row must not
+    inflate to mb*max_bpr tiles (the ELL layout's pathological case)."""
+    rng = np.random.RandomState(7)
+    m = 256
+    A = np.zeros((m, m), np.float32)
+    for i in range(m):  # block-diagonal band
+        j0 = (i // 32) * 32
+        A[i, j0: j0 + 32] = rng.randn(32)
+    A[5, :] = rng.randn(m)  # one dense row
+    mat = st.SparseMatrix(A)
+    t = mat.topology
+
+    spec_e = P.PanelSpec(t, bm=32, bk=32)
+    spec_c = P.PanelSpec(t, bm=32, bk=32, compressed=True)
+    ell_tiles = spec_e.view.values_shape[0] * spec_e.view.values_shape[1]
+    c_tiles = spec_c.view.values_shape[0]
+    assert c_tiles < 0.5 * ell_tiles, (c_tiles, ell_tiles)
+
+    pc = jnp.asarray(P.values_to_panel_np(t, mat.values, 32, 32,
+                                          compressed=True))
+    dense = jnp.asarray(rng.randn(m, 24).astype(np.float32))
+    g = jnp.asarray(rng.randn(m, 24).astype(np.float32))
+    for backend in ("xla", "pallas"):
+        st.set_backend(backend)
+        try:
+            out = P.spmm(spec_c, pc, dense)
+            outt = P.spmm_t(spec_c, pc, g)
+            gp, gd = jax.grad(
+                lambda p, d: jnp.sum(P.spmm(spec_c, p, d) ** 2),
+                argnums=(0, 1))(pc, dense)
+        finally:
+            st.set_backend("auto")
+        np.testing.assert_allclose(np.asarray(out), A @ np.asarray(dense),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(outt), A.T @ np.asarray(g),
+                                   atol=1e-3)
+        assert bool(jnp.isfinite(gp).all()) and bool(jnp.isfinite(gd).all())
+    # layout roundtrip
+    back = P.panel_to_values_np(t, np.asarray(pc), 32, 32, compressed=True)
+    np.testing.assert_allclose(back, mat.values)

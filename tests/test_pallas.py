@@ -121,3 +121,33 @@ def test_forced_pallas_replicated_left_spmm():
     finally:
         st.set_backend("auto")
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_int8_quantized_spmm():
+    """W8A8 serving kernel: blockwise int8 weights, per-tile dynamic int8
+    activations, int32 MXU accumulation — ~1e-2 relative error."""
+    from sputnik_tpu.ops.pallas.bsr_spmm_int8 import (
+        bsr_spmm_panel_int8,
+        quantize_panel_np,
+    )
+    from sputnik_tpu.ops import panel_api as P
+
+    rng = np.random.RandomState(9)
+    m, k, q = 160, 144, 64
+    A = ((rng.rand(m, k) < 0.3) * rng.randn(m, k)).astype(np.float32)
+    mat = st.SparseMatrix(A)
+    t = mat.topology
+    bm = bk = 16
+    bv = t.block(bm, bk)
+    q8, sc = quantize_panel_np(P.values_to_panel_np(t, mat.values, bm, bk))
+    dpad = np.zeros((bv.n_pad, 64), np.float32)
+    dense = rng.randn(k, q).astype(np.float32)
+    dpad[:k, :q] = dense
+    out = bsr_spmm_panel_int8(
+        jnp.asarray(bv.block_cols.reshape(-1)), jnp.asarray(bv.nblocks),
+        jnp.asarray(q8), jnp.asarray(sc), jnp.asarray(dpad),
+        mb=bv.mb, max_bpr=bv.max_bpr, kb=bv.kb, bm=bm, bk=bk, bn=64,
+        interpret=True)
+    ref = A @ dense
+    rel = np.abs(np.asarray(out)[:m, :q] - ref).max() / np.abs(ref).max()
+    assert rel < 5e-2, rel

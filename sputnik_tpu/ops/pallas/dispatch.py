@@ -47,7 +47,7 @@ def _tiles(topo):
     if bn:
         return 128, 128, bn
     if topo.m >= 2048 and topo.n >= 2048:
-        return 128, 128, 512
+        return 512, 512, 512  # measured balanced tiles (RESULTS.md)
     return 128, 128, 128
 
 

@@ -98,8 +98,8 @@ class BatchedPanelSpec:
         for r in range(self.R):
             v = self.views[r // self.heads]
             flat = np.zeros(v.dump + 1, np.float32)
-            nnz_pad = v.scatter_idx.shape[0]
-            flat[v.scatter_idx] = values_r[r, :nnz_pad]
+            take = min(v.scatter_idx.shape[0], values_r.shape[1])
+            flat[v.scatter_idx[:take]] = values_r[r, :take]
             out[r, :, : v.max_bpr] = flat[: v.dump].reshape(v.values_shape)
         return out
 
@@ -137,7 +137,6 @@ def _k_spmm_bh(cols, nblk, panels, dense, *, R, heads, mb, max_bpr,
                bm, bk, bn, interpret):
     n_pad = dense.shape[-1]
     nb = n_pad // bn
-    L = mb * max_bpr
 
     def kernel(cols_ref, nblk_ref, p_ref, d_ref, o_ref):
         r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(3)
@@ -183,7 +182,6 @@ def _k_sddmm_bh(cols, nblk, mask, lhs, rhs, *, R, heads, mb, max_bpr,
                 bm, bk, bd, interpret):
     d_pad = lhs.shape[-1]
     dt = d_pad // bd
-    L = mb * max_bpr
 
     def kernel(cols_ref, nblk_ref, m_ref, l_ref, r_ref, o_ref):
         r, i = pl.program_id(0), pl.program_id(1)
@@ -240,7 +238,6 @@ def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
                  bm, bk, bq, interpret):
     q_pad = g.shape[-1]
     qb = q_pad // bq
-    L = kb * max_bpc
 
     def kernel(ti_ref, ts_ref, tn_ref, p_ref, g_ref, o_ref):
         r, j, u = pl.program_id(0), pl.program_id(1), pl.program_id(3)
@@ -290,8 +287,13 @@ def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
 
 
 def _mask_r(spec):
-    """Element mask broadcast to replicas: [B,...] -> [R,...] (lazy)."""
-    return jnp.repeat(jnp.asarray(spec.meta["mask"]), spec.heads, axis=0)
+    """Element mask broadcast to replicas without materialising ``heads``
+    copies: ``[B, ...] -> [R, ...]`` via a broadcast + reshape (XLA keeps
+    the broadcast lazy inside the consuming fusion)."""
+    mask = jnp.asarray(spec.meta["mask"])
+    shape = (spec.B, spec.heads) + mask.shape[1:]
+    return jnp.broadcast_to(mask[:, None], shape).reshape(
+        (spec.R,) + mask.shape[1:])
 
 
 def _pad_rows(spec, x, rows, d_pad):

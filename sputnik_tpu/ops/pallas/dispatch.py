@@ -37,7 +37,7 @@ def supported(topo) -> bool:
         return False
     # Everything is supported via padding; tiny topologies stay on the
     # oracle (padding to 128x128 tiles would dominate).
-    return topo.m * topo.n >= 64 * 64
+    return topo.m * topo.n >= 128 * 128
 
 
 def _tiles(topo):

@@ -121,7 +121,6 @@ def flash_sparse_attention_fwd(
     row_denom [R, mb*bm, 128])`` — stats are broadcast along the 128-lane
     minor dim (TPU-friendly layout) and consumed by the backward pass."""
     hd_pad = q.shape[-1]
-    L = mb * max_bpr
 
     def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
                q_ref, k_ref, v_ref, pm_ref,
@@ -304,7 +303,6 @@ def flash_sparse_bwd_dq(
         def _():
             dq_ref[0] = acc[:]
 
-    L = mb * max_bpr
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -350,7 +348,6 @@ def flash_sparse_bwd_dkv(
 ):
     """(dk, dv): each f32[R, kb*bk, hd_pad]."""
     hd_pad = q.shape[-1]
-    L = kb * max_bpc
 
     def kernel(ti_ref, tn_ref, slot_ref, part_ref,
                q_ref, k_ref, v_ref, g_ref, st_ref, d_ref, pm_ref,

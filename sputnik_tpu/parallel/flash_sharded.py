@@ -37,18 +37,6 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _stack_padded(metas, key, pad_mode="repeat_last"):
-    """Stack per-shard meta arrays (each [1, L_d]) to [ndev, L_max]."""
-    arrs = [m[key][0] for m in metas]
-    L = max(a.shape[0] for a in arrs)
-    out = np.zeros((len(arrs), L), arrs[0].dtype)
-    for d, a in enumerate(arrs):
-        out[d, : a.shape[0]] = a
-        if a.shape[0] < L and pad_mode == "repeat_last" and a.shape[0] > 0:
-            out[d, a.shape[0]:] = a[-1]
-    return out
-
-
 class ShardedFlashSpec:
     """Static bundle: row partition + per-shard flash metadata, stacked."""
 

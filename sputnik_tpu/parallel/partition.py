@@ -68,7 +68,6 @@ class RowPartition:
         self.inv_perm[self.perm] = np.arange(m_pad)
 
         # Build per-shard CSR from the permuted row view.
-        dense_rows = None  # only materialise per shard, not globally
         ro, ci = topo.row_offsets, topo.column_indices
         shard_nnz = []
         shard_arrays = []

@@ -56,6 +56,13 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tile_n(q_pad: int) -> int:
+    """Output-tile width that exactly divides ``q_pad`` (a multiple of
+    128). Picking a non-divisor silently drops the trailing column tiles —
+    the Pallas grid is ``q_pad // bn``."""
+    return 512 if q_pad % 512 == 0 else 128
+
+
 class ShardedPanelSpec:
     """Static bundle: partition + block tiles + stacked kernel metadata.
 
@@ -132,7 +139,7 @@ def _local_spmm(spec, cols, nblk, panel, dense, q_pad):
         cols[0], nblk[0], panel[0], dense,
         jnp.zeros((spec.m_pad_loc, 1), jnp.float32),
         mb=spec.mb, max_bpr=spec.max_bpr, kb=spec.kb,
-        bm=spec.bm, bk=spec.bk, bn=min(q_pad, 512),
+        bm=spec.bm, bk=spec.bk, bn=_tile_n(q_pad),
         interpret=_interp(),
     )[None]
 
@@ -141,7 +148,7 @@ def _local_spmm_t(spec, ti, ts, tn, panel, g, q_pad):
     out = _spmm_t_mod.bsr_spmm_t_panel(
         ti[0], ts[0], tn[0], panel[0], g[0],
         kb=spec.kb, max_bpc=spec.max_bpc, mb=spec.mb,
-        bm=spec.bm, bk=spec.bk, bq=min(q_pad, 512),
+        bm=spec.bm, bk=spec.bk, bq=_tile_n(q_pad),
         interpret=_interp(),
     )
     return jax.lax.psum(out, spec.axis)[None]

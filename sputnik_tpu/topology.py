@@ -259,14 +259,12 @@ class SparseTopology:
             perm[self.nnz:] = self.nnz  # a guaranteed-padding source slot
 
         # Cache the reverse direction too: transposing twice must yield the
-        # original topology object (so double-backward reuses compiled code).
-        inv = np.full(self.nnz_pad, self.nnz if self.nnz < self.nnz_pad else 0,
-                      dtype=np.int32)
+        # original topology object (so double-backward reuses compiled
+        # code). Padding slots (if any) point at a guaranteed-padding slot
+        # of the transposed vector; valid slots are the inverse permutation.
+        fill = self.nnz if self.nnz < self.nnz_pad else 0
+        inv = np.full(self.nnz_pad, fill, dtype=np.int32)
         inv[order] = np.arange(self.nnz, dtype=np.int32)
-        if self.nnz >= self.nnz_pad:  # no padding: fix up dummy init
-            inv_full = np.empty(self.nnz_pad, dtype=np.int32)
-            inv_full[order] = np.arange(self.nnz, dtype=np.int32)
-            inv = inv_full
         topo_t._transpose_cache = (self, inv)
 
         self._transpose_cache = (topo_t, perm)

@@ -174,3 +174,19 @@ def test_sharded_spmm_halo_colsharded_rhs(problem):
     ref_gd = (2 * problem["A"].T @ (problem["A"] @ dense)).reshape(
         NDEV, n // NDEV, q)
     np.testing.assert_allclose(np.asarray(gd), ref_gd, rtol=1e-2, atol=1e-2)
+
+
+def test_sharded_spmm_wide_nonmultiple_output(problem):
+    """Regression: q_pad > 512 and not a multiple of 512 must still fill
+    every output column (the grid's bn must divide q_pad)."""
+    spec, part = problem["spec"], problem["part"]
+    n, m = problem["n"], problem["m"]
+    rng = np.random.RandomState(11)
+    q = 600  # pads to 640: 640 % 512 != 0
+    dense = rng.randn(n, q).astype(np.float32)
+    out = jax.jit(lambda p, d: sharded_spmm(spec, p, d))(
+        problem["panels"], jnp.asarray(dense))
+    got = _gather_rows(part, out, m, q)
+    ref = problem["A"] @ dense
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, ref, atol=1e-3)

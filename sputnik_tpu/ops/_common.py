@@ -1,0 +1,49 @@
+"""Shared backend predicates and padding helpers for the op layers.
+
+Single source of truth for backend selection (``set_backend`` /
+on-TPU detection) and tile-padding arithmetic — previously re-implemented
+per module, which let the sharded layer's padding logic diverge (the
+bn-divisor bug fixed in b47db48).
+"""
+
+from __future__ import annotations
+
+import jax
+
+__all__ = ["round_up", "on_tpu", "use_kernels", "interp", "tile_n"]
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def use_kernels() -> bool:
+    """Whether the Pallas kernels should serve this call (honours
+    ``sputnik_tpu.set_backend``; 'auto' means kernels on real TPU only)."""
+    from . import api as _api
+
+    backend = _api.get_backend()
+    if backend == "xla":
+        return False
+    if backend == "pallas":
+        return True
+    return on_tpu()
+
+
+def interp() -> bool:
+    """Run kernels in interpret mode (anywhere that isn't a real TPU)."""
+    return not on_tpu()
+
+
+def tile_n(q_pad: int, cap: int = 512) -> int:
+    """Largest output-tile width <= cap that exactly divides ``q_pad``
+    (a multiple of 128). A non-divisor would leave trailing column tiles
+    unvisited — the Pallas grid is ``q_pad // bn``."""
+    for bn in (cap, 256, 128):
+        if bn <= cap and q_pad % bn == 0:
+            return bn
+    return 128

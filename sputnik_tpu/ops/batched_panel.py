@@ -27,33 +27,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..blocking import stack_block_meta
 from . import xla_ops
+from ._common import interp as _interp
+from ._common import round_up as _round_up
+from ._common import use_kernels as _use_kernels
 
 __all__ = ["BatchedPanelSpec", "spmm_bh", "sddmm_bh", "sparse_softmax_bh"]
 
 _NEG_LARGE = -1e30
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
-def _use_kernels() -> bool:
-    from . import api as _api
-
-    backend = _api.get_backend()
-    if backend == "xla":
-        return False
-    if backend == "pallas":
-        return True
-    return _on_tpu()
-
-
-def _interp() -> bool:
-    return not _on_tpu()
 
 
 class BatchedPanelSpec:

@@ -25,13 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import batched_panel as bp
+from ._common import interp as _interp
+from ._common import round_up as _round_up
+from ._common import use_kernels as _use_kernels
 from .pallas import flash_sparse as fs
 
 __all__ = ["fused_sparse_attention"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _flash_meta(spec: bp.BatchedPanelSpec):
@@ -78,7 +77,7 @@ def _fused_fwd_impl(spec, q, k, v, scale, *, want_stats=False):
         q_p, k_p, v_p,
         R=R, heads=spec.heads, mb=spec.mb,
         max_bpr=meta["max_bpr"], bm=meta["bm"], bk=meta["bk"],
-        interpret=bp._interp(),
+        interpret=_interp(),
     )
     if want_stats:
         return out[:, :s, :hd], row_max, row_denom
@@ -87,13 +86,13 @@ def _fused_fwd_impl(spec, q, k, v, scale, *, want_stats=False):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
 def _fused(spec, q, k, v, scale):
-    if not bp._use_kernels():
+    if not _use_kernels():
         return _unfused(spec, q, k, v, scale)
     return _fused_fwd_impl(spec, q, k, v, scale)
 
 
 def _fused_f(spec, q, k, v, scale):
-    if not bp._use_kernels():
+    if not _use_kernels():
         out = _unfused(spec, q, k, v, scale)
         return out, (q, k, v, None, None, None)
     out, row_max, row_denom = _fused_fwd_impl(spec, q, k, v, scale,
@@ -126,7 +125,7 @@ def _fused_b(spec, scale, res, g):
     dcoef = jnp.broadcast_to(d_pad[:, :, None], (R, spec.m_pad, 128))
 
     common = dict(R=R, heads=spec.heads, bm=meta["bm"], bk=meta["bk"],
-                  interpret=bp._interp())
+                  interpret=_interp())
     dq_p = fs.flash_sparse_bwd_dq(
         jnp.asarray(meta["block_cols"]),
         jnp.asarray(meta["nblocks"]),

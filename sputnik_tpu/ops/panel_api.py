@@ -35,6 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import xla_ops
+from ._common import interp as _interp
+from ._common import round_up as _round_up
+from ._common import use_kernels as _use_kernels
 from .pallas import bsr_sddmm as _sddmm_mod
 from .pallas import bsr_spmm as _spmm_mod
 from .pallas import bsr_spmm_t as _spmm_t_mod
@@ -55,10 +58,6 @@ __all__ = [
 ]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 def default_block(topo) -> Tuple[int, int]:
     """Tile-size heuristic (measured on v5e at 4096^3 d=0.1, see git log):
     square 512 blocks balance the forward (A @ B) and transposed (A^T @ G)
@@ -68,25 +67,6 @@ def default_block(topo) -> Tuple[int, int]:
     if topo.m >= 2048 and topo.n >= 2048:
         return 512, 512
     return 128, 128
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
-
-
-def _use_kernels() -> bool:
-    from . import api as _api
-
-    backend = _api.get_backend()
-    if backend == "xla":
-        return False
-    if backend == "pallas":
-        return True
-    return _on_tpu()
-
-
-def _interp() -> bool:
-    return not _on_tpu()
 
 
 # ---------------------------------------------------------------------------

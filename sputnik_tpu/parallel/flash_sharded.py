@@ -23,18 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops._common import interp as _interp
+from ..ops._common import round_up as _round_up
 from ..ops.pallas import flash_sparse as fs
 from .partition import RowPartition
 
 __all__ = ["ShardedFlashSpec", "flash_attention_sharded"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _interp() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 class ShardedFlashSpec:

@@ -30,6 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops._common import interp as _interp
+from ..ops._common import round_up as _round_up
+from ..ops._common import tile_n as _tile_n
 from ..ops.pallas import bsr_sddmm as _sddmm_mod
 from ..ops.pallas import bsr_spmm as _spmm_mod
 from ..ops.pallas import bsr_spmm_t as _spmm_t_mod
@@ -46,21 +49,6 @@ __all__ = [
 ]
 
 _NEG_LARGE = -1e30
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _interp() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _tile_n(q_pad: int) -> int:
-    """Output-tile width that exactly divides ``q_pad`` (a multiple of
-    128). Picking a non-divisor silently drops the trailing column tiles —
-    the Pallas grid is ``q_pad // bn``."""
-    return 512 if q_pad % 512 == 0 else 128
 
 
 class ShardedPanelSpec:

@@ -7,8 +7,8 @@ padded CSR, precomputed transpose permutations, block-CSR MXU kernels, and a
 shard_map distribution layer the reference never had.
 """
 
-from . import many_mask, models, ops, patterns
-from .blocking import BlockView, EllView
+from . import many_mask, ops, patterns
+from .blocking import BlockView, CompressedView, EllView
 from .many_mask import (
     ManyMaskTopology,
     csr_transpose_many_mask,
@@ -32,8 +32,22 @@ from .topology import SparseMatrix, SparseTopology, diffsort
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # `models` pulls in flax (an optional dependency) — load it lazily so
+    # the core op/topology layers work on a bare jax+numpy install.
+    if name in ("models", "parallel"):
+        import importlib
+
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "BlockView",
+    "CompressedView",
     "EllView",
     "ManyMaskTopology",
     "PanelSpec",

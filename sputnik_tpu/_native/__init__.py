@@ -18,24 +18,52 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "topology.c")
-_SO = os.path.join(_HERE, f"_topology_{sys.platform}.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_hash() -> str:
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:16]
+
+
+def _so_path() -> str:
+    """Cache path keyed by source hash — a read-only install still gets a
+    working build (user cache dir), and a source change never reuses a
+    stale artifact."""
+    cache = os.environ.get("XDG_CACHE_HOME",
+                           os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(cache, "sputnik_tpu")
+    return os.path.join(d, f"_topology_{sys.platform}_{_src_hash()}.so")
+
+
+def _build(so: str) -> bool:
+    """Compile to a temp file then ``os.replace`` — atomic against a
+    concurrent first-use in another process (no partially-written .so can
+    ever be dlopened)."""
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    tmp = f"{so}.tmp.{os.getpid()}"
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
+                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
                 capture_output=True, timeout=120,
             )
             if r.returncode == 0:
+                os.replace(tmp, so)
                 return True
         except (OSError, subprocess.TimeoutExpired):
             continue
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
     return False
 
 
@@ -49,13 +77,18 @@ def lib():
         _tried = True
         if os.environ.get("SPUTNIK_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_SO) or (
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-        ):
-            if not _build():
+        try:
+            so = _so_path()
+        except OSError:
+            return None
+        if not os.path.exists(so):
+            try:
+                if not _build(so):
+                    return None
+            except OSError:
                 return None
         try:
-            L = ctypes.CDLL(_SO)
+            L = ctypes.CDLL(so)
         except OSError:
             return None
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

@@ -97,13 +97,18 @@ class SparseCoreAttention(nn.Module):
 
         q3, k3, v3 = fold(q), fold(k), fold(v)
         scale = 1.0 / float(np.sqrt(hd))
-        if self.layout == "flash":
+        # Sub-128 tiles violate the TPU 128-lane minor-dim requirement (they
+        # only work in interpret mode) — short sequences take the panel path.
+        layout = self.layout
+        if layout == "flash" and s < 128:
+            layout = "panel"
+        if layout == "flash":
             from ..ops.fused_attention import fused_sparse_attention
 
-            blk = min(self.flash_block, 1 << (s - 1).bit_length())
+            blk = max(128, min(self.flash_block, 1 << (s - 1).bit_length()))
             spec = self._panel_spec(bm=blk, bk=blk)
             ctx = fused_sparse_attention(spec, q3, k3, v3, scale=scale)
-        elif self.layout == "panel":
+        elif layout == "panel":
             spec = self._panel_spec()
             scores = bp.sddmm_bh(spec, q3, k3) * scale
             weights = bp.sparse_softmax_bh(spec, scores)

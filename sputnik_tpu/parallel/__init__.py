@@ -12,6 +12,7 @@ operands replicated or column-sharded, XLA collectives (``psum`` /
 from .partition import RowPartition
 from .flash_sharded import ShardedFlashSpec, flash_attention_sharded
 from .sharded_ops import (
+    ShardedPanelSpec,
     sharded_sddmm,
     sharded_spmm_halo,
     sharded_softmax,
@@ -23,6 +24,7 @@ from .sharded_ops import (
 __all__ = [
     "RowPartition",
     "ShardedFlashSpec",
+    "ShardedPanelSpec",
     "flash_attention_sharded",
     "sharded_spmm",
     "sharded_spmm_halo",

@@ -187,8 +187,13 @@ def _raw_spmm(spec, panels, dense):
 
 
 def _raw_spmm_t(spec, panels, g_sh):
-    """A^T @ G with G row-sharded [ndev, m_pad_loc, q_pad]; returns the
-    replicated [n_pad, q_pad] sum (psum over the mesh axis)."""
+    """A^T @ G with G row-sharded [ndev, m_loc, q]; returns the replicated
+    [n_pad, q] sum (psum over the mesh axis). ``g_sh`` is padded here to
+    (m_pad_loc, multiple-of-128) — a raw caller passing the natural shape
+    must not silently leave trailing column tiles unwritten (the grid is
+    ``q_pad // bq``)."""
+    q = g_sh.shape[-1]
+    g_sh = _pad3(spec, g_sh)
     q_pad = g_sh.shape[-1]
     ti = jnp.asarray(spec.t_src_i)
     ts = jnp.asarray(spec.t_src_s)
@@ -201,7 +206,7 @@ def _raw_spmm_t(spec, panels, g_sh):
         out_specs=P(x),
     )
     out = fn(ti, ts, tn, panels, g_sh)  # [ndev, n_pad, q_pad] (all equal)
-    return out[0]
+    return out[0][:, :q]
 
 
 def _raw_sddmm(spec, lhs_sh, rhs):
@@ -210,6 +215,7 @@ def _raw_sddmm(spec, lhs_sh, rhs):
     d = rhs.shape[-1]
     d_pad = _round_up(max(d, 1), 128)
     rhs_p = _pad2(rhs, spec.n_pad, d_pad)
+    lhs_sh = _pad3(spec, lhs_sh)
     cols = jnp.asarray(spec.block_cols)
     nblk = jnp.asarray(spec.nblocks)
     mask = jnp.asarray(spec.mask)
@@ -271,10 +277,9 @@ def _sh_spmm_t_fwd(spec, panels, g_sh):
 
 def _sh_spmm_t_bwd(spec, res, ct):
     panels, g_sh = res
-    ct_pad = _pad2(ct, spec.n_pad, g_sh.shape[-1])
-    d_panels = _raw_sddmm(spec, g_sh, ct_pad)
-    d_g = _raw_spmm(spec, panels, ct_pad)
-    return d_panels, d_g[:, :, : g_sh.shape[-1]]
+    d_panels = _raw_sddmm(spec, g_sh, ct)
+    d_g = _raw_spmm(spec, panels, ct)
+    return d_panels, d_g[:, : g_sh.shape[1], : g_sh.shape[-1]]
 
 
 sharded_spmm_t.defvjp(_sh_spmm_t_fwd, _sh_spmm_t_bwd)
@@ -292,16 +297,8 @@ def _sh_sddmm_fwd(spec, lhs_sh, rhs):
 def _sh_sddmm_bwd(spec, res, g_panels):
     lhs_sh, rhs = res
     d_lhs = _raw_spmm(spec, g_panels, rhs)[:, :, : lhs_sh.shape[-1]]
-    d_rhs = _raw_spmm_t(spec, g_panels, _pad_like(spec, lhs_sh))
+    d_rhs = _raw_spmm_t(spec, g_panels, lhs_sh)
     return d_lhs[:, : lhs_sh.shape[1]], d_rhs[: rhs.shape[0], : rhs.shape[1]]
-
-
-def _pad_like(spec, x):
-    q_pad = _round_up(max(x.shape[-1], 1), 128)
-    if x.shape[-1] == q_pad:
-        return x
-    pad = jnp.zeros(x.shape[:-1] + (q_pad - x.shape[-1],), x.dtype)
-    return jnp.concatenate([x, pad], axis=-1)
 
 
 sharded_sddmm.defvjp(_sh_sddmm_fwd, _sh_sddmm_bwd)

@@ -63,8 +63,12 @@ def diffsort(row_offsets: np.ndarray) -> np.ndarray:
     ``diffsort`` (``modules/spmm.py:4-6``) computes ``argsort(-lengths,
     descending=True)`` which actually yields *shortest*-first; since the order
     only affects scheduling, not semantics, we implement the documented
-    intent ("needed for load balance", longest first) and use it as the
-    Pallas grid iteration order.
+    intent ("needed for load balance", longest first). On a single TPU core
+    the Pallas grid runs sequentially, so no kernel consumes this order —
+    the load balancing that matters lives in the distributed partitioner
+    (``parallel/partition.py``: nnz-balanced serpentine assignment of
+    row-blocks to devices). This function is kept as the reference-parity
+    single-chip definition.
     """
     row_offsets = np.asarray(row_offsets)
     lengths = row_offsets[1:] - row_offsets[:-1]

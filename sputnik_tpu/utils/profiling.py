@@ -30,6 +30,7 @@ CHIP_SPECS = {
 def measure(fn: Callable, *args, iters_lo: int = 10, iters_hi: int = 40,
             repeats: int = 3) -> float:
     """Milliseconds per call of an already-jitted ``fn(*args)``."""
+    import jax
     import jax.numpy as jnp
 
     def chain(k):
@@ -37,9 +38,7 @@ def measure(fn: Callable, *args, iters_lo: int = 10, iters_hi: int = 40,
         out = None
         for _ in range(k):
             out = fn(*args)
-        leaf = out
-        while isinstance(leaf, (tuple, list)):
-            leaf = leaf[0]
+        leaf = jax.tree_util.tree_leaves(out)[0]  # any pytree output
         float(jnp.sum(leaf.reshape(-1)[:8]))  # host fetch barrier
         return time.perf_counter() - t0
 

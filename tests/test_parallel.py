@@ -93,6 +93,27 @@ def test_sharded_spmm_t_parity(problem):
                                atol=1e-3)
 
 
+def test_sharded_spmm_t_unpadded_width(problem):
+    # Regression (ADVICE r1): a direct caller passing the natural
+    # (non-128-multiple) trailing dim must not get silently-unwritten
+    # column tiles — q=200 floor-truncated to one 128-tile before the fix.
+    spec, part = problem["spec"], problem["part"]
+    m, q = problem["m"], 200
+    rng = np.random.RandomState(3)
+    g_np = rng.randn(m, q).astype(np.float32)
+    gperm = np.zeros((part.ndev * part.m_loc, q), np.float32)
+    for i, r in enumerate(part.perm):
+        if r < m:
+            gperm[i] = g_np[r]
+    g_sh = jnp.asarray(gperm.reshape(part.ndev, part.m_loc, q))
+    out = jax.jit(lambda p, g: sharded_spmm_t(spec, p, g))(
+        problem["panels"], g_sh)
+    assert out.shape[-1] == q
+    ref = problem["A"].T @ g_np
+    np.testing.assert_allclose(np.asarray(out)[: problem["n"]], ref,
+                               atol=1e-3)
+
+
 def test_sharded_grads(problem):
     spec = problem["spec"]
     panels, dense = problem["panels"], problem["dense"]

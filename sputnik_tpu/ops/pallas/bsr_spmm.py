@@ -60,61 +60,75 @@ def bsr_spmm_panel(
     n_pad = dense.shape[1]
     nb = n_pad // bn
     prec = jax.lax.Precision[precision.upper()]
+    with_bias = epilogue != "none"
 
-    def kernel(cols_ref, nblk_ref, vals_ref, dense_ref, bias_ref, out_ref):
+    def kernel(cols_ref, nblk_ref, vals_ref, dense_ref, *rest):
+        bias_ref = rest[0] if with_bias else None
+        out_ref, acc_ref = rest[-2], rest[-1]
         i = pl.program_id(0)
         s = pl.program_id(2)
 
+        # Accumulate in a VMEM scratch and store to the output block ONCE at
+        # the last slot. Accumulating directly into ``out_ref`` measured ~6%
+        # slower at 4096^3 (the revisited output block round-trips through
+        # the pipeline's copy machinery; the scratch stays put).
         @pl.when(s == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         @pl.when(s < nblk_ref[i])
         def _():
-            out_ref[:] += jax.lax.dot(
+            acc_ref[:] += jax.lax.dot(
                 vals_ref[0, 0],
                 dense_ref[:],
                 precision=prec,
                 preferred_element_type=jnp.float32,
             )
 
-        if epilogue != "none":
-            @pl.when(s == max_bpr - 1)
-            def _():
-                pre = out_ref[:] + bias_ref[:]
-                out_ref[:] = (
-                    jnp.maximum(pre, 0.0) if epilogue == "bias_relu" else pre
-                )
+        @pl.when(s == max_bpr - 1)
+        def _():
+            acc = acc_ref[:]
+            if with_bias:
+                acc = acc + bias_ref[:]
+                if epilogue == "bias_relu":
+                    acc = jnp.maximum(acc, 0.0)
+            out_ref[:] = acc
 
     grid = (mb, nb, max_bpr)
     flops = 2 * int(np.sum(np.asarray(nblocks))) if isinstance(
         nblocks, np.ndarray) else 2 * mb * max_bpr
+    # The (bm, 1) bias stream only exists when the epilogue needs it — a
+    # sub-lane-width block DMA'd every grid step is measurable drag.
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, bm, bk),
+            lambda i, j, s, cols, nblk: (i, s, 0, 0),
+        ),
+        pl.BlockSpec(
+            (bk, bn),
+            lambda i, j, s, cols, nblk: (cols[i * max_bpr + s], j),
+        ),
+    ]
+    operands = [values_panel, dense]
+    if with_bias:
+        in_specs.append(pl.BlockSpec(
+            (bm, 1), lambda i, j, s, cols, nblk: (i, 0)))
+        operands.append(bias)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, bm, bk),
-                    lambda i, j, s, cols, nblk: (i, s, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (bk, bn),
-                    lambda i, j, s, cols, nblk: (cols[i * max_bpr + s], j),
-                ),
-                pl.BlockSpec(
-                    (bm, 1),
-                    lambda i, j, s, cols, nblk: (i, 0),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (bm, bn), lambda i, j, s, cols, nblk: (i, j)
             ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops * bm * bk * n_pad,
@@ -125,7 +139,7 @@ def bsr_spmm_panel(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(block_cols, nblocks, values_panel, dense, bias)
+    )(block_cols, nblocks, *operands)
 
 
 def _panel_consts(topo, bm, bk):

@@ -49,24 +49,31 @@ def bsr_spmm_t_panel(
     qb = q_pad // bq
     prec = jax.lax.Precision[precision.upper()]
 
-    def kernel(ti_ref, ts_ref, tn_ref, vals_ref, g_ref, out_ref):
+    def kernel(ti_ref, ts_ref, tn_ref, vals_ref, g_ref, out_ref, acc_ref):
         j = pl.program_id(0)
         u = pl.program_id(2)
 
+        # VMEM scratch accumulation, single store at the last slot (same
+        # ~6% win as bsr_spmm: a revisited output block round-trips through
+        # the pipeline's copy machinery, the scratch does not).
         @pl.when(u == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         @pl.when(u < tn_ref[j])
         def _():
             # A_block^T @ G_block: contract the row (bm) dimension.
-            out_ref[:] += jax.lax.dot_general(
+            acc_ref[:] += jax.lax.dot_general(
                 vals_ref[0, 0],
                 g_ref[:],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 precision=prec,
                 preferred_element_type=jnp.float32,
             )
+
+        @pl.when(u == max_bpc - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
 
     return pl.pallas_call(
         kernel,
@@ -88,10 +95,12 @@ def bsr_spmm_t_panel(
             out_specs=pl.BlockSpec(
                 (bk, bq), lambda j, q, u, ti, ts, tn: (j, q)
             ),
+            scratch_shapes=[pltpu.VMEM((bk, bq), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((kb * bk, q_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(t_src_i, t_src_s, t_nblocks, values_panel, g)

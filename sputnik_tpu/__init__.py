@@ -18,6 +18,7 @@ from .many_mask import (
 )
 from .ops import (
     csr_transpose,
+    int8,
     left_spmm,
     panel,
     sddmm,
@@ -47,6 +48,7 @@ def __getattr__(name):
 
 __all__ = [
     "BlockView",
+    "int8",
     "CompressedView",
     "EllView",
     "ManyMaskTopology",

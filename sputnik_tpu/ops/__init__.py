@@ -1,3 +1,4 @@
+from . import int8_api as int8
 from . import panel_api as panel
 from .api import (
     csr_transpose,
@@ -13,6 +14,7 @@ from .api import (
 
 __all__ = [
     "csr_transpose",
+    "int8",
     "get_backend",
     "left_spmm",
     "panel",

@@ -1,0 +1,199 @@
+"""Int8 serving-mode API: the W8A8 op family over the panel layout.
+
+Weights (sparse values) are blockwise-quantized int8 with per-tile
+symmetric absmax scales — 4x less HBM traffic than fp32 and the MXU's
+int8 path runs at 2x the bf16 rate on v5e. Dense activations are
+dynamically quantized per tile inside the kernels. Accumulation is int32
+per tile, rescaled to f32 before cross-block accumulation (standard W8A8;
+~1e-2 relative error). fp32/bf16 stays the default everywhere — this
+module is opt-in for serving.
+
+The reference is fp32-only (``src/spmm_cuda.cu:41-44`` hardcodes f32);
+this is new capability for the BASELINE's "large-scale production
+deployment and serving" goal. Covers the full forward op family:
+``spmm_int8`` (+ fused bias/relu via the f32 epilogue), ``spmm_t_int8``,
+``sddmm_int8``, and the fused int8 sparse-flash attention forward
+(``attention_int8``). Training (backward) stays on the fp32/bf16 kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._common import interp as _interp
+from ._common import round_up as _round_up
+from ._common import use_kernels as _use_kernels
+from .panel_api import PanelSpec, _spec
+from .pallas import bsr_spmm_int8 as _k8
+
+__all__ = ["QuantizedPanel", "quantize_panel", "spmm_int8", "spmm_t_int8",
+           "sddmm_int8", "attention_int8", "quantize_rows_np"]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedPanel:
+    """Blockwise int8 panel + per-tile scales (host- or device-resident)."""
+
+    values_q: object            # i8 [mb, max_bpr, bm, bk]
+    scales: object              # f32[mb, max_bpr]
+
+
+def quantize_panel(spec: PanelSpec, panel) -> QuantizedPanel:
+    """fp32 panel -> int8 panel + scales (symmetric per-tile absmax)."""
+    q, s = _k8.quantize_panel_np(np.asarray(panel, np.float32))
+    return QuantizedPanel(jnp.asarray(q), jnp.asarray(s))
+
+
+def quantize_rows_np(x: np.ndarray, block: int):
+    """Per-row-block symmetric absmax quantization of ``[..., rows, d]``:
+    returns (int8 array, f32 scales ``[..., rows//block]``). Host-side
+    helper for int8 K/V caches."""
+    x = np.asarray(x, np.float32)
+    nb = x.shape[-2] // block
+    xb = x.reshape(*x.shape[:-2], nb, block, x.shape[-1])
+    absmax = np.abs(xb).max(axis=(-1, -2))
+    scales = (absmax / 127.0).astype(np.float32)
+    safe = np.where(scales > 0, scales, 1.0)[..., None, None]
+    q = np.clip(np.rint(xb / safe), -127, 127).astype(np.int8)
+    return q.reshape(x.shape), scales
+
+
+def _dq(spec, qp):
+    """Dequantized f32 panel (oracle path)."""
+    return (jnp.asarray(qp.values_q, jnp.float32)
+            * jnp.asarray(qp.scales)[:, :, None, None])
+
+
+def spmm_int8(spec, qp: QuantizedPanel, dense):
+    """W8A8 SpMM: int8 weights x dynamically-quantized dense -> f32."""
+    spec = _spec(spec)
+    t, bv = spec.topo, spec.view
+    if not _use_kernels():
+        from . import xla_ops
+        from .panel_api import _flat
+
+        vals = _flat(spec, _dq(spec, qp))
+        return xla_ops.spmm(vals, t.column_indices, t.row_ids, t.m, dense)
+    n_out = dense.shape[-1]
+    bn = spec.bn or (1024 if n_out >= 4096 else
+                     512 if n_out >= 2048 else 128)
+    n_pad = _round_up(max(n_out, 1), bn)
+    if dense.shape == (bv.n_pad, n_pad):
+        dense_pad = dense
+    else:
+        dense_pad = jnp.zeros((bv.n_pad, n_pad), dense.dtype)
+        dense_pad = dense_pad.at[: dense.shape[0], :n_out].set(dense)
+    out = _k8.bsr_spmm_panel_int8(
+        jnp.asarray(bv.block_cols.reshape(-1)),
+        jnp.asarray(bv.nblocks),
+        qp.values_q, qp.scales, dense_pad,
+        mb=bv.mb, max_bpr=bv.max_bpr, kb=bv.kb,
+        bm=spec.bm, bk=spec.bk, bn=bn, interpret=_interp(),
+    )
+    return out[: t.m, :n_out]
+
+
+def spmm_t_int8(spec, qp: QuantizedPanel, g):
+    """W8A8 transposed SpMM: ``A^T @ G`` off the int8 panel (block
+    metadata transpose — no value movement, like the fp32 kernel)."""
+    spec = _spec(spec)
+    t, bv = spec.topo, spec.view
+    if not _use_kernels():
+        from . import xla_ops
+        from .panel_api import _flat
+
+        vals = _flat(spec, _dq(spec, qp))
+        topo_t, perm = t.transpose()
+        vals_t = jnp.take(vals, jnp.asarray(perm))
+        return xla_ops.spmm(vals_t, topo_t.column_indices, topo_t.row_ids,
+                            topo_t.m, g)
+    t_nblocks, t_src = bv.transpose_meta()
+    max_bpc = t_src.shape[1]
+    q_out = g.shape[-1]
+    bq = spec.bn or (1024 if q_out >= 4096 else
+                     512 if q_out >= 2048 else 128)
+    q_pad = _round_up(max(q_out, 1), bq)
+    if g.shape == (bv.m_pad, q_pad):
+        g_pad = g
+    else:
+        g_pad = jnp.zeros((bv.m_pad, q_pad), g.dtype)
+        g_pad = g_pad.at[: g.shape[0], :q_out].set(g)
+    out = _k8.bsr_spmm_t_panel_int8(
+        jnp.asarray(t_src[:, :, 0].reshape(-1)),
+        jnp.asarray(t_src[:, :, 1].reshape(-1)),
+        jnp.asarray(t_nblocks),
+        qp.values_q, qp.scales, g_pad,
+        kb=bv.kb, max_bpc=max_bpc, mb=bv.mb,
+        bm=spec.bm, bk=spec.bk, bq=bq, interpret=_interp(),
+    )
+    return out[: t.n, :q_out]
+
+
+def sddmm_int8(spec, lhs, rhs):
+    """Int8 SDDMM: both dense operands dynamically quantized per tile;
+    sampled product returned as an f32 panel."""
+    spec = _spec(spec)
+    t, bv = spec.topo, spec.view
+    if not _use_kernels():
+        from .panel_api import _sddmm_impl
+
+        return _sddmm_impl(spec, lhs, rhs)
+    d = lhs.shape[-1]
+    bd = 128
+    d_pad = _round_up(max(d, 1), bd)
+    if lhs.shape == (bv.m_pad, d_pad):
+        lhs_pad = lhs
+    else:
+        lhs_pad = jnp.zeros((bv.m_pad, d_pad), lhs.dtype)
+        lhs_pad = lhs_pad.at[: lhs.shape[0], :d].set(lhs)
+    if rhs.shape == (bv.n_pad, d_pad):
+        rhs_pad = rhs
+    else:
+        rhs_pad = jnp.zeros((bv.n_pad, d_pad), rhs.dtype)
+        rhs_pad = rhs_pad.at[: rhs.shape[0], :d].set(rhs)
+    return _k8.bsr_sddmm_panel_int8(
+        jnp.asarray(bv.block_cols.reshape(-1)),
+        jnp.asarray(bv.nblocks),
+        lhs_pad, rhs_pad, jnp.asarray(bv.mask, jnp.float32),
+        mb=bv.mb, max_bpr=bv.max_bpr,
+        bm=spec.bm, bk=spec.bk, bd=bd, interpret=_interp(),
+    )
+
+
+def attention_int8(spec, q, k, v, scale=None):
+    """Fused int8 sparse-flash attention FORWARD (serving): int8 QK^T and
+    PV contractions on the MXU's 2x-rate int8 path, f32 online softmax.
+    q/k/v arrive f32/bf16 and are dynamically quantized per tile in the
+    kernel. ~1e-2 relative error; use the fp32 fused kernel for training.
+    """
+    from . import batched_panel as bp
+    from .fused_attention import _flash_meta, _hd_pad, _pad
+
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    scale = float(scale)
+    if not _use_kernels():
+        from .fused_attention import fused_sparse_attention
+
+        return fused_sparse_attention(spec, q, k, v, scale=scale)
+    meta = _flash_meta(spec)
+    R, s, hd = q.shape
+    hd_pad = _hd_pad(max(hd, 1))
+    q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
+    k_p = _pad(spec, k, spec.n_pad, hd_pad)
+    v_p = _pad(spec, v, spec.n_pad, hd_pad)
+    from .pallas import flash_sparse_int8 as fsi
+
+    out = fsi.flash_sparse_attention_fwd_int8(
+        meta["block_cols"], meta["nblocks"], meta["mask_slot"],
+        meta["is_partial"], meta["pmask"],
+        q_p, k_p, v_p,
+        R=R, heads=spec.heads, mb=spec.mb,
+        max_bpr=int(meta["max_bpr"]), bm=int(meta["bm"]),
+        bk=int(meta["bk"]), interpret=_interp(),
+    )
+    return out[:, :s, :hd]

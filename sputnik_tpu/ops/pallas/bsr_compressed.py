@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_spmm_panel_c", "bsr_spmm_t_panel_c"]
+__all__ = ["bsr_spmm_panel_c", "bsr_spmm_t_panel_c", "bsr_sddmm_panel_c",
+           "c_softmax_stats", "c_softmax_apply"]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -151,3 +152,201 @@ def bsr_spmm_t_panel_c(
         ),
         interpret=interpret,
     )(t_gblk, t_rows, t_nblocks, values, g)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mb", "max_bpr", "num_blocks", "bm", "bk", "bd", "interpret"))
+def bsr_sddmm_panel_c(
+    block_offsets,         # i32[mb + 1] (scalar prefetch)
+    block_cols,            # i32[num_blocks + 1]
+    lhs,                   # f32[mb*bm, d_pad]
+    rhs,                   # f32[kb*bk, d_pad]
+    mask,                  # f32[num_blocks + 1, bm, bk]
+    *,
+    mb: int,
+    max_bpr: int,
+    num_blocks: int,
+    bm: int,
+    bk: int,
+    bd: int,
+    interpret: bool = False,
+):
+    """Sampled ``lhs @ rhs^T`` into the COMPRESSED panel
+    ``f32[num_blocks + 1, bm, bk]`` (dump block stays zero: its mask is
+    zero and every padded grid step lands on it)."""
+    d_pad = lhs.shape[1]
+    dt = d_pad // bd
+
+    def gblk(offs, i, s):
+        return jnp.minimum(offs[i] + s, num_blocks)
+
+    def kernel(offs_ref, cols_ref, lhs_ref, rhs_ref, mask_ref, out_ref):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        t = pl.program_id(2)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(offs_ref[i] + s < offs_ref[i + 1])
+        def _():
+            out_ref[0] += jax.lax.dot_general(
+                lhs_ref[:], rhs_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(t == dt - 1)
+        def _():
+            out_ref[:] *= mask_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(mb, max_bpr, dt),
+            in_specs=[
+                pl.BlockSpec((bm, bd), lambda i, s, t, offs, cols: (i, t)),
+                pl.BlockSpec((bk, bd),
+                             lambda i, s, t, offs, cols: (
+                                 cols[gblk(offs, i, s)], t)),
+                pl.BlockSpec((1, bm, bk),
+                             lambda i, s, t, offs, cols: (
+                                 gblk(offs, i, s), 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, bk),
+                                   lambda i, s, t, offs, cols: (
+                                       gblk(offs, i, s), 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_blocks + 1, bm, bk),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_offsets, block_cols, lhs, rhs, mask)
+
+
+_NEG_LARGE = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mb", "max_bpr", "num_blocks", "bm", "bk", "interpret"))
+def c_softmax_stats(
+    block_offsets,         # i32[mb + 1] (scalar prefetch)
+    values,                # f32[num_blocks + 1, bm, bk]
+    mask,                  # f32[num_blocks + 1, bm, bk]
+    *,
+    mb: int,
+    max_bpr: int,
+    num_blocks: int,
+    bm: int,
+    bk: int,
+    interpret: bool = False,
+):
+    """Online row stats over the ragged block->row-block map: returns
+    ``(row_max, row_denom)``, each ``f32[mb*bm, 128]`` broadcast along
+    lanes (the segment reduction that closes softmax over the compressed
+    layout — ragged rows never materialise)."""
+
+    def gblk(offs, i, s):
+        return jnp.minimum(offs[i] + s, num_blocks)
+
+    def kernel(offs_ref, vals_ref, mask_ref, m_ref, l_ref, m_scr, l_scr):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            m_scr[:] = jnp.full_like(m_scr, _NEG_LARGE)
+            l_scr[:] = jnp.zeros_like(l_scr)
+
+        @pl.when(offs_ref[i] + s < offs_ref[i + 1])
+        def _():
+            v = jnp.where(mask_ref[0] != 0, vals_ref[0], _NEG_LARGE)
+            m_prev = m_scr[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(v, axis=1, keepdims=True))
+            p = jnp.where(mask_ref[0] != 0, jnp.exp(v - m_new), 0.0)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(
+                p, axis=1, keepdims=True)
+            m_scr[:, :1] = m_new
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            m_ref[:] = jnp.broadcast_to(m_scr[:, :1], m_ref.shape)
+            l_ref[:] = jnp.broadcast_to(l_scr[:, :1], l_ref.shape)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mb, max_bpr),
+            in_specs=[
+                pl.BlockSpec((1, bm, bk),
+                             lambda i, s, offs: (gblk(offs, i, s), 0, 0)),
+                pl.BlockSpec((1, bm, bk),
+                             lambda i, s, offs: (gblk(offs, i, s), 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bm, 128), lambda i, s, offs: (i, 0)),
+                pl.BlockSpec((bm, 128), lambda i, s, offs: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bm, 128), jnp.float32),
+                pltpu.VMEM((bm, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((mb * bm, 128), jnp.float32),
+            jax.ShapeDtypeStruct((mb * bm, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_offsets, values, mask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_blocks", "bm", "bk", "interpret"))
+def c_softmax_apply(
+    block_rows,            # i32[num_blocks + 1] (scalar prefetch)
+    values,                # f32[num_blocks + 1, bm, bk]
+    mask,                  # f32[num_blocks + 1, bm, bk]
+    row_max,               # f32[mb*bm, 128]
+    row_denom,             # f32[mb*bm, 128]
+    *,
+    num_blocks: int,
+    bm: int,
+    bk: int,
+    interpret: bool = False,
+):
+    """Normalise each compressed block against its row-block's stats."""
+
+    def kernel(rows_ref, vals_ref, mask_ref, m_ref, l_ref, out_ref):
+        m = m_ref[:, :1]
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        p = jnp.exp(vals_ref[0] - m) / l
+        out_ref[0] = jnp.where(mask_ref[0] != 0, p, 0.0)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks + 1,),
+            in_specs=[
+                pl.BlockSpec((1, bm, bk), lambda g, rows: (g, 0, 0)),
+                pl.BlockSpec((1, bm, bk), lambda g, rows: (g, 0, 0)),
+                pl.BlockSpec((bm, 128), lambda g, rows: (rows[g], 0)),
+                pl.BlockSpec((bm, 128), lambda g, rows: (rows[g], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, bk), lambda g, rows: (g, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_blocks + 1, bm, bk),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(block_rows, values, mask, row_max, row_denom)

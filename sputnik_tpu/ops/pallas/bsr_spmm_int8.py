@@ -22,7 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["quantize_panel_np", "bsr_spmm_panel_int8"]
+__all__ = ["quantize_panel_np", "bsr_spmm_panel_int8",
+           "bsr_spmm_t_panel_int8", "bsr_sddmm_panel_int8"]
 
 
 def quantize_panel_np(panel: np.ndarray):
@@ -100,3 +101,158 @@ def bsr_spmm_panel_int8(
         ),
         interpret=interpret,
     )(block_cols, nblocks, values_q, scales, dense)
+
+
+def _quant_tile(x):
+    """Dynamic symmetric absmax int8 quantization of a VMEM tile."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf))
+    scale = jnp.maximum(absmax / 127.0, 1e-30)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kb", "max_bpc", "mb", "bm", "bk", "bq", "interpret"))
+def bsr_spmm_t_panel_int8(
+    t_src_i,               # i32[kb * max_bpc] (scalar prefetch)
+    t_src_s,               # i32[kb * max_bpc]
+    t_nblocks,             # i32[kb]
+    values_q,              # i8 [mb, max_bpr, bm, bk]
+    scales,                # f32[mb, max_bpr] (SMEM)
+    g,                     # f32/bf16 [mb*bm, q_pad]
+    *,
+    kb: int,
+    max_bpc: int,
+    mb: int,
+    bm: int,
+    bk: int,
+    bq: int,
+    interpret: bool = False,
+):
+    """W8A8 ``A^T @ G``: int8 weights off the ORIGINAL panel via the
+    transposed block metadata (no value movement), int8-quantized G tiles,
+    f32 rescale + accumulate. Returns ``f32[kb*bk, q_pad]``."""
+    q_pad = g.shape[1]
+    qb = q_pad // bq
+
+    def kernel(ti_ref, ts_ref, tn_ref, vq_ref, sc_ref, g_ref, out_ref,
+               acc_ref):
+        j = pl.program_id(0)
+        u = pl.program_id(2)
+
+        @pl.when(u == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(u < tn_ref[j])
+        def _():
+            g_q, g_scale = _quant_tile(g_ref[:])
+            acc_i32 = jax.lax.dot_general(
+                vq_ref[0, 0], g_q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            w_scale = sc_ref[ti_ref[j * max_bpc + u],
+                             ts_ref[j * max_bpc + u]]
+            acc_ref[:] += acc_i32.astype(jnp.float32) * (w_scale * g_scale)
+
+        @pl.when(u == max_bpc - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(kb, qb, max_bpc),
+            in_specs=[
+                pl.BlockSpec((1, 1, bm, bk),
+                             lambda j, q, u, ti, ts, tn: (
+                                 ti[j * max_bpc + u], ts[j * max_bpc + u],
+                                 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((bm, bq),
+                             lambda j, q, u, ti, ts, tn: (
+                                 ti[j * max_bpc + u], q)),
+            ],
+            out_specs=pl.BlockSpec((bk, bq),
+                                   lambda j, q, u, ti, ts, tn: (j, q)),
+            scratch_shapes=[pltpu.VMEM((bk, bq), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((kb * bk, q_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(t_src_i, t_src_s, t_nblocks, values_q, scales, g)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mb", "max_bpr", "bm", "bk", "bd", "interpret"))
+def bsr_sddmm_panel_int8(
+    block_cols,            # i32[mb * max_bpr] (scalar prefetch)
+    nblocks,               # i32[mb]
+    lhs,                   # f32/bf16 [mb*bm, d_pad]
+    rhs,                   # f32/bf16 [kb*bk, d_pad]
+    mask,                  # f32[mb, max_bpr, bm, bk]
+    *,
+    mb: int,
+    max_bpr: int,
+    bm: int,
+    bk: int,
+    bd: int,
+    interpret: bool = False,
+):
+    """Int8 SDDMM: both dense tiles dynamically quantized, int8 MXU
+    contraction, f32 rescale. Output panel ``f32[mb, max_bpr, bm, bk]``."""
+    d_pad = lhs.shape[1]
+    dt = d_pad // bd
+
+    def kernel(cols_ref, nblk_ref, lhs_ref, rhs_ref, mask_ref, out_ref):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        t = pl.program_id(2)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(s < nblk_ref[i])
+        def _():
+            l_q, l_scale = _quant_tile(lhs_ref[:])
+            r_q, r_scale = _quant_tile(rhs_ref[:])
+            acc_i32 = jax.lax.dot_general(
+                l_q, r_q,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out_ref[0, 0] += acc_i32.astype(jnp.float32) * (
+                l_scale * r_scale)
+
+        @pl.when(t == dt - 1)
+        def _():
+            out_ref[:] *= mask_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(mb, max_bpr, dt),
+            in_specs=[
+                pl.BlockSpec((bm, bd), lambda i, s, t, cols, nblk: (i, t)),
+                pl.BlockSpec((bk, bd),
+                             lambda i, s, t, cols, nblk: (
+                                 cols[i * max_bpr + s], t)),
+                pl.BlockSpec((1, 1, bm, bk),
+                             lambda i, s, t, cols, nblk: (i, s, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bm, bk), lambda i, s, t, cols, nblk: (i, s, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((mb, max_bpr, bm, bk), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(block_cols, nblocks, lhs, rhs, mask)

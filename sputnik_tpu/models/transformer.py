@@ -69,6 +69,7 @@ class SparseCoreAttention(nn.Module):
     num_heads: int
     layout: str = "flash"
     flash_block: int = 512
+    flash_block_k: int = 0      # 0 -> auto (2x flash_block; measured win)
 
     def _panel_spec(self, bm=128, bk=128):
         mt = self.mask_topology
@@ -103,10 +104,17 @@ class SparseCoreAttention(nn.Module):
         if layout == "flash" and s < 128:
             layout = "panel"
         if layout == "flash":
-            from ..ops.fused_attention import fused_sparse_attention
+            from ..ops.fused_attention import (fused_sparse_attention,
+                                               warm_flash_meta)
 
             blk = max(128, min(self.flash_block, 1 << (s - 1).bit_length()))
-            spec = self._panel_spec(bm=blk, bk=blk)
+            blk_k = self.flash_block_k or min(
+                2 * blk, 1 << (s - 1).bit_length())
+            blk_k = max(128, blk_k)
+            spec = self._panel_spec(bm=blk, bk=blk_k)
+            # device-place the flash metadata on the first eager call so
+            # traced steps don't bake it into their compile payload
+            warm_flash_meta(spec)
             ctx = fused_sparse_attention(spec, q3, k3, v3, scale=scale)
         elif layout == "panel":
             spec = self._panel_spec()

@@ -33,26 +33,87 @@ from .pallas import flash_sparse as fs
 __all__ = ["fused_sparse_attention"]
 
 
+def _trace_clean() -> bool:
+    try:
+        from jax._src import core as _core
+
+        return bool(_core.trace_state_clean())
+    except Exception:
+        return False
+
+
+def _to_device(meta: dict) -> dict:
+    return {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+            for k, v in meta.items()}
+
+
 def _flash_meta(spec: bp.BatchedPanelSpec):
-    cached = getattr(spec, "_flash_meta", None)
-    if cached is None:
-        cached = fs.build_flash_meta(spec.views)
-        spec._flash_meta = cached
-    return cached
+    """Flash metadata as DEVICE arrays (cached on the spec).
+
+    Device-resident metadata enters a surrounding ``jit`` as a hoisted
+    runtime buffer, not an HLO literal — keeping the compile payload O(1)
+    in topology size (numpy constants at s=32768 previously blew the
+    remote-compile payload limit). The device cache is only populated
+    outside a trace; the numpy build is always cached.
+    """
+    cached = getattr(spec, "_flash_meta_dev", None)
+    if cached is not None:
+        return cached
+    np_meta = getattr(spec, "_flash_meta", None)
+    if np_meta is None:
+        np_meta = fs.build_flash_meta(spec.views)
+        spec._flash_meta = np_meta
+    dev = _to_device(np_meta)
+    if _trace_clean():
+        spec._flash_meta_dev = dev
+    return dev
 
 
 def _flash_bwd_meta(spec: bp.BatchedPanelSpec):
-    cached = getattr(spec, "_flash_bwd_meta", None)
-    if cached is None:
-        cached = fs.build_flash_bwd_meta(spec.views)
-        spec._flash_bwd_meta = cached
-    return cached
+    cached = getattr(spec, "_flash_bwd_meta_dev", None)
+    if cached is not None:
+        return cached
+    np_meta = getattr(spec, "_flash_bwd_meta", None)
+    if np_meta is None:
+        np_meta = fs.build_flash_bwd_meta(spec.views)
+        spec._flash_bwd_meta = np_meta
+    dev = _to_device(np_meta)
+    if _trace_clean():
+        spec._flash_bwd_meta_dev = dev
+    return dev
+
+
+def warm_flash_meta(spec: bp.BatchedPanelSpec) -> None:
+    """Eagerly build + device-place the flash metadata for ``spec``.
+
+    Call once at model-construction time (outside ``jit``) so the first
+    traced step does not bake the metadata into its compile payload.
+    No-op under a trace.
+    """
+    if not _trace_clean():
+        return
+    _flash_meta(spec)
+    _flash_bwd_meta(spec)
 
 
 def _unfused(spec, q, k, v, scale):
     scores = bp.sddmm_bh(spec, q, k) * scale
     w = bp.sparse_softmax_bh(spec, scores)
     return bp.spmm_bh(spec, w, v)
+
+
+def _hd_pad(hd: int) -> int:
+    """Head-dim tile width: rounds to the 128-lane minor dim.
+
+    Measured (v5e, causal 16x2048 hd=64): a 64-lane minor dim - which
+    halves the q/k/v/g HBM traffic - does NOT speed the kernel up (0.39 ms
+    vs 0.36 ms padded) and compiles ~3x slower. The MXU runs a 64-deep
+    contraction in the same full pass as a 128-deep one, so the zero-padded
+    half costs no compute; the kernel's cost is per-block-step score/softmax
+    work, which is hd-independent. Tile size (bm, bk), not hd packing, is
+    the perf lever (see RESULTS.md).
+    """
+    return _round_up(max(hd, 1), 128)
 
 
 def _pad(spec, x, rows, hd_pad):
@@ -64,7 +125,7 @@ def _pad(spec, x, rows, hd_pad):
 def _fused_fwd_impl(spec, q, k, v, scale, *, want_stats=False):
     meta = _flash_meta(spec)
     R, s, hd = q.shape
-    hd_pad = _round_up(max(hd, 1), 128)
+    hd_pad = _hd_pad(max(hd, 1))
     q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
     k_p = _pad(spec, k, spec.n_pad, hd_pad)
     v_p = _pad(spec, v, spec.n_pad, hd_pad)
@@ -109,7 +170,7 @@ def _fused_b(spec, scale, res, g):
 
     meta = _flash_bwd_meta(spec)
     R, s, hd = q.shape
-    hd_pad = _round_up(max(hd, 1), 128)
+    hd_pad = _hd_pad(max(hd, 1))
     q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
     k_p = _pad(spec, k, spec.n_pad, hd_pad)
     v_p = _pad(spec, v, spec.n_pad, hd_pad)

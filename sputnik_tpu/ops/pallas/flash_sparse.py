@@ -204,6 +204,7 @@ def flash_sparse_attention_fwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, pmask)
@@ -333,6 +334,7 @@ def flash_sparse_bwd_dq(
         out_shape=jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
@@ -437,6 +439,7 @@ def flash_sparse_bwd_dkv(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(t_src_i, t_nblocks, t_mask_slot, t_is_partial, q, k, v, g, stats,

@@ -109,6 +109,36 @@ class ShardedPanelSpec:
         return self.part.stacked_panel(values, self.bm, self.bk,
                                        self.max_bpr)
 
+    def halo_extents(self, n_loc: int) -> tuple:
+        """(lo, hi): max rows any device's CSR slice reaches BELOW/ABOVE its
+        own ``n_loc``-row dense shard — the ragged-exchange size.
+
+        Derived from the per-device touched column blocks: device ``d``
+        owning dense rows ``[d*n_loc, (d+1)*n_loc)`` must fetch
+        ``[min_col_block*bk, (max_col_block+1)*bk)``; the halo is the
+        overhang, maximised over devices (uniform so shapes stay static).
+        """
+        cache = getattr(self, "_halo_extents", None)
+        if cache is None:
+            cache = {}
+            self._halo_extents = cache
+        if n_loc in cache:
+            return cache[n_loc]
+        lo = hi = 0
+        for d in range(self.part.ndev):
+            cols = self.block_cols[d].reshape(self.mb, self.max_bpr)
+            nblk = self.nblocks[d]
+            touched = [int(cols[i, s]) for i in range(self.mb)
+                       for s in range(int(nblk[i]))]
+            if not touched:
+                continue
+            first = min(touched) * self.bk
+            last = (max(touched) + 1) * self.bk
+            lo = max(lo, d * n_loc - first)
+            hi = max(hi, last - (d + 1) * n_loc)
+        cache[n_loc] = (max(lo, 0), max(hi, 0))
+        return cache[n_loc]
+
     def __hash__(self):
         return id(self)
 
@@ -360,34 +390,107 @@ def _pad3(spec, x):
 # ---------------------------------------------------------------------------
 
 
+def _halo_steps(lo: int, hi: int, n_loc: int):
+    return -(-lo // n_loc), -(-hi // n_loc)
+
+
+def _halo_assemble(spec, d_loc, n_loc, q_pad, lo, hi):
+    """Inside ``shard_map``: build the globally-indexed ``[n_pad + n_loc,
+    q_pad]`` dense buffer holding this device's own shard plus only the
+    ``lo``/``hi`` halo rows, received via *sliced* ``ppermute`` shifts —
+    comm volume is exactly ``lo + hi`` rows per device instead of the
+    ``(ndev-1) * n_loc`` of a dense all_gather. The trailing ``n_loc``
+    scratch rows absorb wrapped edge-device writes (their metadata never
+    reads them). Built from differentiable ops only, so the backward pass
+    is ``jax.vjp`` of this function (reverse ppermutes, same volume)."""
+    x = spec.axis
+    ndev = spec.part.ndev
+    me = jax.lax.axis_index(x)
+    buf = jnp.zeros((spec.n_pad + n_loc, q_pad), d_loc.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, d_loc,
+                                       (me * n_loc, jnp.int32(0)))
+    steps_lo, steps_hi = _halo_steps(lo, hi, n_loc)
+    scratch = spec.n_pad
+    for k in range(1, steps_lo + 1):
+        take = min(n_loc, lo - (k - 1) * n_loc)
+        send = d_loc[n_loc - take:, :]               # my bottom rows
+        recv = jax.lax.ppermute(
+            send, x, [(j, (j + k) % ndev) for j in range(ndev)])
+        start = (me - k) * n_loc + (n_loc - take)
+        start = jnp.where(me >= k, start, scratch)   # wrap -> scratch tail
+        buf = jax.lax.dynamic_update_slice(buf, recv,
+                                           (start, jnp.int32(0)))
+    for k in range(1, steps_hi + 1):
+        take = min(n_loc, hi - (k - 1) * n_loc)
+        send = d_loc[:take, :]                       # my top rows
+        recv = jax.lax.ppermute(
+            send, x, [(j, (j - k) % ndev) for j in range(ndev)])
+        start = (me + k) * n_loc
+        start = jnp.where(me + k < ndev, start, scratch)
+        buf = jax.lax.dynamic_update_slice(buf, recv,
+                                           (start, jnp.int32(0)))
+    return buf
+
+
+def _local_spmm_t_nopsum(spec, ti, ts, tn, panel, g, q_pad):
+    """Per-device partial ``A_d^T @ G_d`` WITHOUT the psum (the ragged halo
+    backward reduces it over the halo paths instead)."""
+    return _spmm_t_mod.bsr_spmm_t_panel(
+        ti[0], ts[0], tn[0], panel[0], g[0],
+        kb=spec.kb, max_bpc=spec.max_bpc, mb=spec.mb,
+        bm=spec.bm, bk=spec.bk, bq=_tile_n(q_pad),
+        interpret=_interp(),
+    )
+
+
+def _halo_plan(spec, n_loc):
+    """(lo, hi) if the ragged exchange pays off, else None (dense
+    all_gather). Ragged wins when the halo is smaller than gathering
+    everyone else's shard."""
+    lo, hi = spec.halo_extents(n_loc)
+    if lo + hi >= (spec.part.ndev - 1) * n_loc:
+        return None
+    return lo, hi
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def sharded_spmm_halo(spec, panels, dense_sh):
     """Row-partitioned sparse x ROW-SHARDED dense RHS.
 
     ``dense_sh [ndev, n_loc, q]`` holds each device's band of the dense
     operand's rows (the BASELINE north-star layout: dense RHS sharded, not
-    replicated). Each device all-gathers the dense rows its CSR slice's
-    ``column_indices`` touch — here as a dense ``all_gather`` over the mesh
-    axis ("halo rows ... via allgather", SURVEY.md §5), overlapped with
-    compute by XLA's latency-hiding scheduler; restricting the exchange to
-    the touched *blocks* (ragged all-to-all) is the refinement noted in
-    CLAUDE.md. Output is row-sharded ``[ndev, m_pad_loc, q_pad]``.
+    replicated). Each device fetches only the dense rows its CSR slice's
+    column blocks touch: the per-device halo extents are precomputed from
+    the block metadata (``ShardedPanelSpec.halo_extents``) and exchanged
+    with sliced ``ppermute`` shifts (``_halo_assemble``) — comm volume
+    ``lo + hi`` rows per device. Topologies whose halo would span the whole
+    operand fall back to the dense ``all_gather``. Output is row-sharded
+    ``[ndev, m_pad_loc, q_pad]``; the backward runs the same halo paths in
+    reverse (vjp of the assembly) plus a psum-free local ``A^T G``.
     """
     return _raw_spmm_halo(spec, panels, dense_sh)
 
 
 def _raw_spmm_halo(spec, panels, dense_sh):
-    q = dense_sh.shape[-1]
+    n_loc, q = dense_sh.shape[1], dense_sh.shape[-1]
     q_pad = _round_up(max(q, 1), 128)
     cols = jnp.asarray(spec.block_cols)
     nblk = jnp.asarray(spec.nblocks)
     x = spec.axis
+    plan = _halo_plan(spec, n_loc)
 
     def local(c, nb, p, d_loc):
-        d_full = jax.lax.all_gather(d_loc[0], x, tiled=True)  # [n, q]
-        d_pad = jnp.zeros((spec.n_pad, q_pad), d_full.dtype)
-        d_pad = d_pad.at[: d_full.shape[0], :q].set(d_full)
-        return _local_spmm(spec, c, nb, p, d_pad, q_pad)
+        d2 = d_loc[0]
+        if q_pad != q:
+            d2 = jnp.concatenate(
+                [d2, jnp.zeros((n_loc, q_pad - q), d2.dtype)], axis=-1)
+        if plan is None:
+            d_full = jax.lax.all_gather(d2, x, tiled=True)   # [n, q_pad]
+            ext = jnp.zeros((spec.n_pad, q_pad), d2.dtype)
+            ext = jax.lax.dynamic_update_slice(ext, d_full, (0, 0))
+        else:
+            ext = _halo_assemble(spec, d2, n_loc, q_pad, *plan)[: spec.n_pad]
+        return _local_spmm(spec, c, nb, p, ext, q_pad)
 
     fn = _smap(
         spec, local,
@@ -404,12 +507,48 @@ def _sh_spmm_halo_fwd(spec, panels, dense_sh):
 def _sh_spmm_halo_bwd(spec, res, g):
     panels, dense_sh = res
     ndev, n_loc, q = dense_sh.shape
-    # d_panels: sddmm against the re-gathered dense rows
-    d_full = jnp.reshape(dense_sh, (ndev * n_loc, q))
-    d_panels = _raw_sddmm(spec, g, d_full)
-    # d_dense: A^T @ g is replicated [n_pad, q_pad]; re-shard its rows
-    d_dense_full = _raw_spmm_t(spec, panels, g)[: ndev * n_loc, :q]
-    d_dense = jnp.reshape(d_dense_full, (ndev, n_loc, q))
+    q_pad = g.shape[-1]
+    plan = _halo_plan(spec, n_loc)
+    if plan is None:
+        # dense path: sddmm against the re-gathered rows; A^T g re-sharded
+        d_full = jnp.reshape(dense_sh, (ndev * n_loc, q))
+        d_panels = _raw_sddmm(spec, g, d_full)
+        d_dense_full = _raw_spmm_t(spec, panels, g)[: ndev * n_loc, :q]
+        return d_panels, jnp.reshape(d_dense_full, (ndev, n_loc, q))
+
+    cols = jnp.asarray(spec.block_cols)
+    nblk = jnp.asarray(spec.nblocks)
+    mask = jnp.asarray(spec.mask)
+    ti = jnp.asarray(spec.t_src_i)
+    ts = jnp.asarray(spec.t_src_s)
+    tn = jnp.asarray(spec.t_nblocks)
+    x = spec.axis
+
+    def local_bwd(c, nb, mk, a, b, t, p, d_loc, g_loc):
+        d2 = d_loc[0]
+        if q_pad != q:
+            d2 = jnp.concatenate(
+                [d2, jnp.zeros((n_loc, q_pad - q), d2.dtype)], axis=-1)
+        ext, vjp_fn = jax.vjp(
+            lambda dl: _halo_assemble(spec, dl, n_loc, q_pad, *plan), d2)
+        d_panel = _sddmm_mod.bsr_sddmm_panel(
+            c[0], nb[0], g_loc[0], ext[: spec.n_pad], mk[0],
+            mb=spec.mb, max_bpr=spec.max_bpr,
+            bm=spec.bm, bk=spec.bk, bd=min(q_pad, 128),
+            interpret=_interp(),
+        )
+        d_full = _local_spmm_t_nopsum(spec, a, b, t, p, g_loc, q_pad)
+        d_ext = jnp.zeros_like(ext)
+        d_ext = jax.lax.dynamic_update_slice(d_ext, d_full, (0, 0))
+        (d_d2,) = vjp_fn(d_ext)
+        return d_panel[None], d_d2[None, :, :q]
+
+    fn = _smap(
+        spec, local_bwd,
+        in_specs=(P(x),) * 9,
+        out_specs=(P(x), P(x)),
+    )
+    d_panels, d_dense = fn(cols, nblk, mask, ti, ts, tn, panels, dense_sh, g)
     return d_panels, d_dense
 
 

@@ -47,11 +47,14 @@ def main():
 
     size = int(os.environ.get("BENCH_SIZE", 4096))
     rng = np.random.RandomState(0)
-    dense = jnp.asarray(rng.randn(size, size).astype(np.float32))
+    dense = jnp.asarray(rng.randn(size, size).astype(np.float32)
+                        ).astype(jnp.bfloat16)
 
-    # dense matmul reference on the same chip
-    a = jnp.asarray(rng.randn(size, size).astype(np.float32))
-    f_dense = jax.jit(lambda x, y: x @ y)
+    # dense matmul reference on the same chip (same bf16-stream class)
+    a = jnp.asarray(rng.randn(size, size).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    f_dense = jax.jit(lambda x, y: jax.lax.dot(
+        x, y, preferred_element_type=jnp.float32))
     dense_ms = slope(f_dense, (a, dense))
     print(json.dumps({"config": "dense matmul", "ms": round(dense_ms, 4)}),
           flush=True)
@@ -62,7 +65,8 @@ def main():
         mat = st.SparseMatrix(A.astype(np.float32))
         spec = P.PanelSpec(mat.topology, bm=512, bk=128, bn=1024)
         panel = jnp.asarray(
-            P.values_to_panel_np(mat.topology, mat.values, spec.bm, spec.bk))
+            P.values_to_panel_np(mat.topology, mat.values, spec.bm, spec.bk)
+        ).astype(jnp.bfloat16)
         fn = jax.jit(lambda p, d: P.spmm(spec, p, d))
         ms = slope(fn, (panel, dense))
         occ = spec.view.block_density

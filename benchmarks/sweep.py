@@ -57,9 +57,14 @@ def bench_one(size, density):
     topo = mat.topology
     dense = jnp.asarray(rng.randn(size, size).astype(np.float32))
 
-    bm, bk = (1024, 128) if size >= 2048 else (128, 128)
+    # r2 tiles: (2048, 512, 1024) + bf16-streamed operands (f32 accumulate;
+    # identical numerics to TPU default-precision f32) — see RESULTS.md
+    bm, bk = (2048, 512) if size >= 2048 else (128, 128)
     spec = P.PanelSpec(topo, bm=bm, bk=bk, bn=1024 if size >= 2048 else None)
     values = jnp.asarray(P.values_to_panel_np(topo, mat.values, bm, bk))
+    if size >= 2048:
+        values = values.astype(jnp.bfloat16)
+        dense = dense.astype(jnp.bfloat16)
     fn = jax.jit(lambda v, d: P.spmm(spec, v, d))
     float(jnp.sum(fn(values, dense).reshape(-1)[:8]))
 
@@ -76,24 +81,25 @@ def bench_one(size, density):
                 return dd + 1e-6 * out[: dd.shape[0]]
             return jax.lax.fori_loop(0, n, body, d)
 
-        n_lo, n_hi = 500, 5000
+        n_lo, n_hi = 1000, 9000
         args_lo = (values, dense, jnp.int32(n_lo))
         args_hi = (values, dense, jnp.int32(n_hi))
         timed_chain(chain, args_hi, 1)  # compile once
-        t_lo = min(timed_chain(chain, args_lo, 1) for _ in range(5))
-        t_hi = min(timed_chain(chain, args_hi, 1) for _ in range(5))
+        t_lo = min(timed_chain(chain, args_lo, 1) for _ in range(7))
+        t_hi = min(timed_chain(chain, args_hi, 1) for _ in range(7))
         ms = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3
     else:
         n_lo, n_hi = 10, 40
-        t_lo = min(timed_chain(fn, (values, dense), n_lo) for _ in range(3))
-        t_hi = min(timed_chain(fn, (values, dense), n_hi) for _ in range(3))
+        t_lo = min(timed_chain(fn, (values, dense), n_lo) for _ in range(5))
+        t_hi = min(timed_chain(fn, (values, dense), n_hi) for _ in range(5))
         ms = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3
 
     nnz = topo.nnz
     useful_gflop = 2.0 * nnz * size / 1e9
     # minimal HBM traffic: values panel (occupied blocks) + dense + out
     bv = spec.view
-    bytes_min = (bv.num_blocks * bm * bk + size * size * 2) * 4
+    elt = 2 if size >= 2048 else 4   # bf16 streams at big sizes
+    bytes_min = (bv.num_blocks * bm * bk + size * size) * elt + size * size * 4
     roofline_ms = bytes_min / (V5E_HBM_GBS * 1e9) * 1e3
     compute_ms = (2.0 * bv.num_blocks * bm * bk * size) / (
         V5E_BF16_TFLOPS * 1e12) * 1e3

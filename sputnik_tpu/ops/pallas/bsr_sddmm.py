@@ -52,18 +52,22 @@ def bsr_sddmm_panel(
     dt = d_pad // bd
     prec = jax.lax.Precision[precision.upper()]
 
-    def kernel(cols_ref, nblk_ref, lhs_ref, rhs_ref, mask_ref, out_ref):
+    def kernel(cols_ref, nblk_ref, lhs_ref, rhs_ref, mask_ref, out_ref,
+               acc_ref):
         i = pl.program_id(0)
         s = pl.program_id(1)
         t = pl.program_id(2)
 
+        # VMEM scratch accumulation over the contraction tiles, single
+        # masked store at the last step (same win as bsr_spmm: a revisited
+        # output block round-trips the pipeline's copy machinery).
         @pl.when(t == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         @pl.when(s < nblk_ref[i])
         def _():
-            out_ref[0, 0] += jax.lax.dot_general(
+            acc_ref[:] += jax.lax.dot_general(
                 lhs_ref[:],
                 rhs_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -73,7 +77,7 @@ def bsr_sddmm_panel(
 
         @pl.when(t == dt - 1)
         def _():
-            out_ref[:] *= mask_ref[:]
+            out_ref[0, 0] = acc_ref[:] * mask_ref[0, 0]
 
     return pl.pallas_call(
         kernel,
@@ -96,10 +100,12 @@ def bsr_sddmm_panel(
             out_specs=pl.BlockSpec(
                 (1, 1, bm, bk), lambda i, s, t, cols, nblk: (i, s, 0, 0)
             ),
+            scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((mb, max_bpr, bm, bk), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(block_cols, nblocks, lhs, rhs, mask)

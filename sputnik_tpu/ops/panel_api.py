@@ -59,13 +59,14 @@ __all__ = [
 
 
 def default_block(topo) -> Tuple[int, int]:
-    """Tile-size heuristic (measured on v5e at 4096^3 d=0.1, see git log):
-    square 512 blocks balance the forward (A @ B) and transposed (A^T @ G)
-    directions (~1.2 ms each); small matrices keep 128 so block granularity
+    """Tile-size heuristic (measured on v5e at 4096^3 d=0.1, r2 sweep with
+    scratch-acc + bf16 streams): (1024, 512) balances the training trio —
+    fwd 0.91 / transposed 0.85 / sddmm 1.2 ms, ~15% faster end-to-end than
+    the r1 square-512 default; small matrices keep 128 so block granularity
     and padding waste stay low. Forward-only workloads can pass
-    ``PanelSpec(topo, bm=1024, bk=128)`` (0.98 ms fwd, slow bwd)."""
+    ``PanelSpec(topo, bm=2048, bk=512, bn=1024)`` (0.71-0.84 ms fwd)."""
     if topo.m >= 2048 and topo.n >= 2048:
-        return 512, 512
+        return 1024, 512
     return 128, 128
 
 
@@ -301,7 +302,8 @@ def _sddmm_impl(spec, lhs, rhs):
     t, bv = spec.topo, spec.view
     if _use_kernels():
         d = lhs.shape[-1]
-        bd = 128
+        # deeper contraction tiles amortise per-step overhead on large d
+        bd = 512 if d >= 2048 else 128
         d_pad = _round_up(max(d, 1), bd)
         if lhs.shape == (bv.m_pad, d_pad):
             lhs_pad = lhs

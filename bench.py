@@ -63,7 +63,7 @@ def main():
         # Operands are streamed as bf16 (half the HBM traffic, f32
         # accumulate in VMEM) — numerically identical to the f32 path, which
         # the TPU MXU truncates to bf16 passes at default precision anyway.
-        bm, bk = (2048, 512) if size >= 2048 else (128, 128)
+        bm, bk = (2048, 1024) if size >= 2048 else (128, 128)
         spec = P.PanelSpec(topo, bm=bm, bk=bk,
                            bn=1024 if size >= 2048 else None)
         values = jnp.asarray(P.values_to_panel_np(topo, mat.values, bm, bk))

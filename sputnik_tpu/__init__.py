@@ -18,6 +18,7 @@ from .many_mask import (
 )
 from .ops import (
     csr_transpose,
+    decode,
     int8,
     left_spmm,
     panel,
@@ -48,6 +49,7 @@ def __getattr__(name):
 
 __all__ = [
     "BlockView",
+    "decode",
     "int8",
     "CompressedView",
     "EllView",

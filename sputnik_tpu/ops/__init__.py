@@ -1,3 +1,4 @@
+from . import decode
 from . import int8_api as int8
 from . import panel_api as panel
 from .api import (
@@ -14,6 +15,7 @@ from .api import (
 
 __all__ = [
     "csr_transpose",
+    "decode",
     "int8",
     "get_backend",
     "left_spmm",

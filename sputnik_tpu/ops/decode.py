@@ -1,0 +1,278 @@
+"""Decode/serving path: sparse single-query attention over a block KV cache.
+
+The reference framework stops at prefill (its attention modules run full
+sequences; SURVEY.md §1 notes it has "no serving path"). This module adds
+the TPU-native decode family:
+
+  * ``KVCache`` — a functional (pytree) per-replica KV cache, fp32/bf16 or
+    int8 with per-token dequant scales (the persistent int8 layout flagged
+    as the serving follow-up in round 1).
+  * ``append_kv`` — one-token cache append (vmapped dynamic_update_slice;
+    quantizes on write for int8 caches).
+  * ``decode_block_table`` — on-device (jit-traceable) attention-sinks +
+    local-window block table from the current ``kv_len``; and
+    ``table_from_topology_row`` for arbitrary ``SparseTopology`` rows.
+  * ``decode_attention`` — the fused kernel call (Pallas on TPU, jnp
+    oracle elsewhere), supporting GQA groups and ``qlen > 1`` speculative
+    verification.
+
+Decode is HBM-bandwidth-bound; the kernel's speed of light is the tabled
+KV bytes / bandwidth, and the int8 cache halves those bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import _common
+from ._common import round_up
+from .pallas.decode_attention import QPAD, decode_attention_kernel
+
+__all__ = [
+    "KVCache", "init_kv_cache", "append_kv", "prefill_kv",
+    "decode_block_table", "table_from_topology_row", "decode_attention",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KVCache:
+    """Per-replica KV cache. ``k``/``v``: ``[R_kv, s_max, hd_pad]``;
+    ``kv_len``: ``i32[R_kv]`` tokens written so far; int8 caches carry
+    per-token dequant scales ``[R_kv, s_max]`` (fp caches hold ones)."""
+
+    k: jax.Array
+    v: jax.Array
+    kv_len: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+
+    @property
+    def is_int8(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+    @property
+    def s_max(self) -> int:
+        return self.k.shape[1]
+
+
+def init_kv_cache(R_kv: int, s_max: int, hd: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    """Empty cache; ``s_max`` is rounded up to the block size at use; ``hd``
+    is padded to the 128-lane minor dim."""
+    hd_pad = round_up(max(hd, 1), 128)
+    shape = (R_kv, s_max, hd_pad)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        kv_len=jnp.zeros((R_kv,), jnp.int32),
+        k_scale=jnp.ones((R_kv, s_max), jnp.float32),
+        v_scale=jnp.ones((R_kv, s_max), jnp.float32),
+    )
+
+
+def _quantize_token(x):
+    """f32[hd] -> (int8[hd], scale). Symmetric per-token scale."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-30) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def append_kv(cache: KVCache, k_new, v_new) -> KVCache:
+    """Append one token per replica. ``k_new``/``v_new``: ``[R_kv, hd]``
+    (hd <= hd_pad; padded with zeros). Functional: returns a new cache."""
+    R, s_max, hd_pad = cache.k.shape
+    kp = jnp.zeros((R, hd_pad), jnp.float32)
+    kp = kp.at[:, : k_new.shape[-1]].set(k_new.astype(jnp.float32))
+    vp = jnp.zeros((R, hd_pad), jnp.float32)
+    vp = vp.at[:, : v_new.shape[-1]].set(v_new.astype(jnp.float32))
+
+    if cache.is_int8:
+        kq, ks = jax.vmap(_quantize_token)(kp)
+        vq, vs = jax.vmap(_quantize_token)(vp)
+    else:
+        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
+        ks = vs = jnp.ones((R,), jnp.float32)
+
+    def upd(buf, tok, ln):
+        return jax.lax.dynamic_update_slice(
+            buf, tok[None], (ln, jnp.int32(0)))
+
+    def upd_s(buf, s, ln):
+        return jax.lax.dynamic_update_slice(buf, s[None], (ln,))
+
+    return KVCache(
+        k=jax.vmap(upd)(cache.k, kq, cache.kv_len),
+        v=jax.vmap(upd)(cache.v, vq, cache.kv_len),
+        kv_len=cache.kv_len + 1,
+        k_scale=jax.vmap(upd_s)(cache.k_scale, ks, cache.kv_len),
+        v_scale=jax.vmap(upd_s)(cache.v_scale, vs, cache.kv_len),
+    )
+
+
+def prefill_kv(cache: KVCache, k_seq, v_seq, lengths=None) -> KVCache:
+    """Bulk-write a prompt into an (empty) cache.
+
+    ``k_seq``/``v_seq``: ``[R_kv, T, hd]``; ``lengths``: ``i32[R_kv]``
+    valid tokens per replica (default: all ``T``). Writes from position 0 —
+    the prefill step of a serving loop (per-token ``append_kv`` is the
+    decode step)."""
+    R, s_max, hd_pad = cache.k.shape
+    T = k_seq.shape[1]
+    if lengths is None:
+        lengths = jnp.full((R,), T, jnp.int32)
+    kp = jnp.zeros((R, T, hd_pad), jnp.float32)
+    kp = kp.at[:, :, : k_seq.shape[-1]].set(k_seq.astype(jnp.float32))
+    vp = jnp.zeros((R, T, hd_pad), jnp.float32)
+    vp = vp.at[:, :, : v_seq.shape[-1]].set(v_seq.astype(jnp.float32))
+    mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+    kp = jnp.where(mask, kp, 0.0)
+    vp = jnp.where(mask, vp, 0.0)
+
+    if cache.is_int8:
+        kq, ks = jax.vmap(jax.vmap(_quantize_token))(kp)
+        vq, vs = jax.vmap(jax.vmap(_quantize_token))(vp)
+    else:
+        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
+        ks = vs = jnp.ones((R, T), jnp.float32)
+
+    return KVCache(
+        k=cache.k.at[:, :T].set(kq),
+        v=cache.v.at[:, :T].set(vq),
+        kv_len=lengths.astype(jnp.int32),
+        k_scale=cache.k_scale.at[:, :T].set(ks),
+        v_scale=cache.v_scale.at[:, :T].set(vs),
+    )
+
+
+def decode_block_table(kv_len, *, s_max: int, bk: int,
+                       window_blocks: int, sink_blocks: int = 1):
+    """Attention-sinks + local-window block table, computed on device.
+
+    Returns ``(tbl i32[R, S], valid i32[R, S])`` with
+    ``S = sink_blocks + window_blocks`` (static). Window blocks that fall
+    inside the sink range (or before block 0) are invalidated and clamped
+    to the previous slot's id so their DMA is elided by the pipeline.
+    """
+    nb = s_max // bk
+    last = jnp.maximum((kv_len - 1) // bk, 0)                # [R]
+    sink = jnp.arange(sink_blocks, dtype=jnp.int32)          # [Ss]
+    win = jnp.arange(window_blocks, dtype=jnp.int32)
+    win = last[:, None] - (window_blocks - 1) + win[None, :]  # [R, Sw]
+
+    sink_t = jnp.broadcast_to(sink[None, :], (kv_len.shape[0], sink_blocks))
+    sink_ok = (sink_t <= last[:, None]) & (kv_len[:, None] > 0)
+    win_ok = (win >= sink_blocks) & (win <= last[:, None]) & (
+        kv_len[:, None] > 0)
+
+    tbl = jnp.concatenate([sink_t, jnp.clip(win, 0, nb - 1)], axis=1)
+    valid = jnp.concatenate([sink_ok, win_ok], axis=1).astype(jnp.int32)
+    # clamp invalid slots to the running previous valid id -> DMA elided
+    def last_valid(a, b):
+        return (jnp.where(b[1] == 1, b[0], a[0]),
+                jnp.maximum(a[1], b[1]))
+
+    prev = jax.lax.associative_scan(last_valid, (tbl, valid), axis=1)[0]
+    return jnp.where(valid == 1, tbl, prev).astype(jnp.int32), valid
+
+
+def table_from_topology_row(topo, row: int, bk: int):
+    """Static block table from one row of a ``SparseTopology`` (numpy).
+
+    The set of ``bk``-sized KV blocks touched by the row's column indices —
+    the decode analogue of the prefill mask's last row."""
+    lo, hi = int(topo.row_offsets[row]), int(topo.row_offsets[row + 1])
+    cols = np.asarray(topo.column_indices[lo:hi])
+    blocks = np.unique(cols // bk).astype(np.int32)
+    if blocks.size == 0:
+        blocks = np.zeros((1,), np.int32)
+        return blocks, np.zeros((1,), np.int32)
+    return blocks, np.ones_like(blocks)
+
+
+def _oracle(q, cache, tbl, valid, bk, qlen, group, scale):
+    """Dense jnp reference (CPU path + correctness oracle)."""
+    R = q.shape[0]
+    s_max = cache.k.shape[1]
+    kf = cache.k.astype(jnp.float32) * cache.k_scale[..., None]
+    vf = cache.v.astype(jnp.float32) * cache.v_scale[..., None]
+
+    hd = q.shape[-1]
+
+    def one(r):
+        rk = r // group
+        sc = (q[r, :qlen].astype(jnp.float32) * scale) @ kf[
+            rk, :, :hd].T                                          # [qlen,s]
+        pos = jnp.arange(s_max)
+        qpos = cache.kv_len[rk] - qlen + jnp.arange(qlen)
+        allow = jnp.zeros((s_max,), bool)
+        for s in range(tbl.shape[1]):
+            in_blk = pos // bk == tbl[r, s]
+            allow = allow | (in_blk & (valid[r, s] == 1))
+        m = allow[None, :] & (pos[None, :] <= qpos[:, None])
+        sc = jnp.where(m, sc, -1e30)
+        w = jax.nn.softmax(sc, axis=-1)
+        w = jnp.where(m, w, 0.0)
+        return w @ vf[rk, :, :hd]
+
+    return jnp.stack([one(r) for r in range(R)])
+
+
+def decode_attention(q, cache: KVCache, tbl, valid, *,
+                     bk: int = 256, qlen: int = 1, group: int = 1,
+                     scale: Optional[float] = None,
+                     interpret: Optional[bool] = None):
+    """Sparse decode attention: ``q [R, qlen, hd]`` against the tabled KV
+    blocks. Returns ``f32[R, qlen, hd]``.
+
+    ``tbl``/``valid``: ``i32[R, S]`` from ``decode_block_table`` (or a
+    broadcast static table). ``group``: query replicas per KV replica
+    (GQA). ``qlen > 1``: speculative verification — queries are the last
+    ``qlen`` cache positions, causally masked.
+    """
+    R, qn, hd = q.shape
+    if qn != qlen:
+        raise ValueError(f"q has qlen {qn}, expected {qlen}")
+    if qlen > QPAD:
+        raise ValueError(f"qlen > {QPAD} not supported (got {qlen})")
+    if cache.s_max % bk:
+        raise ValueError(f"s_max {cache.s_max} not a multiple of bk {bk}")
+    if R != cache.k.shape[0] * group:
+        raise ValueError(
+            f"R {R} != R_kv {cache.k.shape[0]} * group {group}")
+    scale = float(scale) if scale is not None else float(hd) ** -0.5
+    hd_pad = cache.k.shape[-1]
+
+    if not _common.use_kernels():
+        out = _oracle(q, cache, tbl, valid, bk, qlen, group, scale)
+        return out[:, :, :hd]
+    interp = _common.interp() if interpret is None else interpret
+
+    qp = jnp.zeros((R, QPAD, hd_pad), jnp.float32)
+    qp = qp.at[:, :qlen, :hd].set(q.astype(jnp.float32) * scale)
+    # kernel's causal mask spans QPAD rows; rows >= qlen see positions past
+    # kv_len, which the mask rejects entirely -> their l underflows to the
+    # 1e-30 floor and the rows are sliced off here anyway.
+    kv_len_q = jnp.repeat(cache.kv_len, group)
+    R_kv = cache.k.shape[0]
+    nb = cache.s_max // bk
+    nb8 = round_up(nb, 8)
+
+    def _scales3(s):
+        s3 = s.reshape(R_kv, nb, bk)
+        if nb8 != nb:
+            s3 = jnp.concatenate(
+                [s3, jnp.ones((R_kv, nb8 - nb, bk), s.dtype)], axis=1)
+        return s3
+
+    out = decode_attention_kernel(
+        tbl.reshape(-1), valid.reshape(-1), kv_len_q,
+        qp, cache.k, cache.v,
+        _scales3(cache.k_scale), _scales3(cache.v_scale),
+        S=tbl.shape[1], bk=bk, qlen=qlen, group=group, interpret=interp)
+    return out[:, :qlen, :hd]

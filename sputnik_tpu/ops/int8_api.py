@@ -13,12 +13,15 @@ this is new capability for the BASELINE's "large-scale production
 deployment and serving" goal. Covers the full forward op family:
 ``spmm_int8`` (+ fused bias/relu via the f32 epilogue), ``spmm_t_int8``,
 ``sddmm_int8``, and the fused int8 sparse-flash attention forward
-(``attention_int8``). Training (backward) stays on the fp32/bf16 kernels.
+(``attention_int8``). For quantized training, ``spmm_qat`` runs the W8A8
+forward with an int8 backward (straight-through estimator for the panel
+gradient); full-precision fp32/bf16 training remains the default.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 
 import jax
 import jax.numpy as jnp
@@ -30,13 +33,18 @@ from ._common import use_kernels as _use_kernels
 from .panel_api import PanelSpec, _spec
 from .pallas import bsr_spmm_int8 as _k8
 
-__all__ = ["QuantizedPanel", "quantize_panel", "spmm_int8", "spmm_t_int8",
-           "sddmm_int8", "attention_int8", "quantize_rows_np"]
+__all__ = ["QuantizedPanel", "quantize_panel", "quantize_panel_jnp",
+           "spmm_int8", "spmm_t_int8", "sddmm_int8", "attention_int8",
+           "quantize_rows_np", "spmm_qat"]
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class QuantizedPanel:
-    """Blockwise int8 panel + per-tile scales (host- or device-resident)."""
+    """Blockwise int8 panel + per-tile scales (host- or device-resident).
+
+    Registered as a pytree so it can flow through jit/vjp (the quantized
+    -training path stashes it in custom_vjp residuals)."""
 
     values_q: object            # i8 [mb, max_bpr, bm, bk]
     scales: object              # f32[mb, max_bpr]
@@ -60,6 +68,17 @@ def quantize_rows_np(x: np.ndarray, block: int):
     safe = np.where(scales > 0, scales, 1.0)[..., None, None]
     q = np.clip(np.rint(xb / safe), -127, 127).astype(np.int8)
     return q.reshape(x.shape), scales
+
+
+def quantize_panel_jnp(panel) -> QuantizedPanel:
+    """Device-side (traceable) per-tile symmetric absmax quantization —
+    the in-graph quantizer for the quantized-training path."""
+    absmax = jnp.max(jnp.abs(panel.astype(jnp.float32)), axis=(-1, -2))
+    scales = (absmax / 127.0).astype(jnp.float32)
+    safe = jnp.where(scales > 0, scales, 1.0)[..., None, None]
+    q = jnp.clip(jnp.round(panel.astype(jnp.float32) / safe),
+                 -127, 127).astype(jnp.int8)
+    return QuantizedPanel(q, scales)
 
 
 def _dq(spec, qp):
@@ -162,6 +181,43 @@ def sddmm_int8(spec, lhs, rhs):
         mb=bv.mb, max_bpr=bv.max_bpr,
         bm=spec.bm, bk=spec.bk, bd=bd, interpret=_interp(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized training (the r1 "int8 backward" follow-up): W8A8 forward with
+# an int8 backward — grad_dense rides the int8 transposed kernel off the
+# SAME quantized weights as the forward, grad_values is a
+# straight-through-estimator panel gradient via the int8 SDDMM. Master
+# weights stay f32 (the optimizer's copy); quantization happens in-graph.
+# ---------------------------------------------------------------------------
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm_qat(spec, panel, dense):
+    """Differentiable W8A8 SpMM for quantized training.
+
+    Forward quantizes the f32 master ``panel`` per tile in-graph and runs
+    the int8 kernel; backward computes ``grad_dense = A_q^T @ g`` on the
+    int8 transposed kernel and a straight-through ``grad_panel`` via the
+    int8 SDDMM (all three matmuls on the MXU's 2x int8 path). ~1e-2
+    gradient error vs the fp32 chain — the documented W8A8 class.
+    """
+    return spmm_int8(spec, quantize_panel_jnp(panel), dense)
+
+
+def _qat_fwd(spec, panel, dense):
+    qp = quantize_panel_jnp(panel)
+    return spmm_int8(spec, qp, dense), (qp, dense)
+
+
+def _qat_bwd(spec, res, g):
+    qp, dense = res
+    grad_dense = spmm_t_int8(spec, qp, g)
+    grad_panel = sddmm_int8(spec, g, dense)   # STE through quantization
+    return grad_panel, grad_dense
+
+
+spmm_qat.defvjp(_qat_fwd, _qat_bwd)
 
 
 def attention_int8(spec, q, k, v, scale=None):

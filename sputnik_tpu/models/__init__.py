@@ -1,5 +1,7 @@
 from .attention import SparseAttention
 from .linear import SparseLinear, sparse_kaiming_values
+from .moe import SparseMoE
+from .serving import SparseDecoder
 from .transformer import (
     MLP,
     SparseCoreAttention,
@@ -12,7 +14,9 @@ __all__ = [
     "MLP",
     "SparseAttention",
     "SparseCoreAttention",
+    "SparseDecoder",
     "SparseLinear",
+    "SparseMoE",
     "SparseSelfAttention",
     "SparseTransformer",
     "TransformerLayer",

@@ -11,6 +11,7 @@ operands replicated or column-sharded, XLA collectives (``psum`` /
 
 from .partition import RowPartition
 from .flash_sharded import ShardedFlashSpec, flash_attention_sharded
+from .pipeline import PipelineSpec, pipeline_apply, stack_stage_params
 from .sharded_ops import (
     ShardedPanelSpec,
     sharded_sddmm,
@@ -22,10 +23,13 @@ from .sharded_ops import (
 )
 
 __all__ = [
+    "PipelineSpec",
     "RowPartition",
     "ShardedFlashSpec",
     "ShardedPanelSpec",
     "flash_attention_sharded",
+    "pipeline_apply",
+    "stack_stage_params",
     "sharded_spmm",
     "sharded_spmm_halo",
     "sharded_spmm_t",

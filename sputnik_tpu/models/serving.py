@@ -1,0 +1,239 @@
+"""Serving runtime for the sparse transformer: prefill + block-KV decode.
+
+The reference framework has no serving path at all (SURVEY.md §1: "no
+scheduler, no runtime, no CLI, no serving path"); its attention modules
+always run full sequences. This module adds the TPU-native generation
+loop on top of the decode op family (``ops/decode.py``):
+
+  * ``SparseDecoder`` — a functional runtime bound to a trained
+    ``SparseTransformer``'s parameters. ``prefill`` runs the prompt
+    through the model's fast fused-flash path while bulk-writing every
+    layer's K/V into block caches; ``decode_step`` advances one token per
+    sequence through the fused sparse decode-attention kernel.
+  * Attention during decode follows the serving mask families: full
+    causal (``window=None``) or attention-sinks + sliding window — the
+    block table is computed on device from the cache lengths
+    (``ops/decode.decode_block_table``), so the whole decode step jits
+    into a single static-shape program.
+
+Everything is functional: caches are pytrees threaded through jit-able
+steps, so a generation loop is a ``lax.scan`` / Python loop over
+``decode_step`` with no mutable state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import batched_panel as bp
+from ..ops.decode import (
+    KVCache,
+    append_kv,
+    decode_attention,
+    decode_block_table,
+    init_kv_cache,
+    prefill_kv,
+)
+from ..ops.fused_attention import fused_sparse_attention
+from .transformer import SparseTransformer
+
+__all__ = ["SparseDecoder"]
+
+
+def _dense(p, x):
+    """flax ``nn.Dense`` apply: ``x @ kernel + bias``."""
+    return x @ p["kernel"] + p["bias"]
+
+
+def _layernorm(p, x, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * p["scale"] + p["bias"]
+
+
+class SparseDecoder:
+    """Generation runtime over a ``SparseTransformer``'s parameters.
+
+    Args:
+      model: the ``SparseTransformer`` (its mask topology drives prefill
+        attention; decode attention follows ``window``/``sinks``).
+      s_max: cache capacity (tokens per sequence); rounded up to ``bk``.
+      bk: KV block size (1024–2048 reaches HBM speed-of-light on v5e;
+        small models/tests can use 128+).
+      window: sliding-window span in TOKENS for decode attention, or
+        ``None`` for full causal coverage of the cache.
+      sinks: number of attention-sink BLOCKS kept from position 0
+        (only meaningful with a window).
+      cache_dtype: ``jnp.bfloat16`` (default), ``jnp.float32``, or
+        ``jnp.int8`` (per-token dequant scales, half the decode HBM
+        traffic — see benchmarks/RESULTS.md decode table).
+    """
+
+    def __init__(self, model: SparseTransformer, *, s_max: int,
+                 bk: int = 256, window: Optional[int] = None,
+                 sinks: int = 0, cache_dtype=jnp.bfloat16):
+        if model.hidden_size % model.num_heads:
+            raise ValueError("hidden_size must divide num_heads")
+        self.model = model
+        self.bk = bk
+        self.s_max = ((s_max + bk - 1) // bk) * bk
+        self.nb = self.s_max // bk
+        if window is None:
+            self.window_blocks = self.nb
+            self.sink_blocks = 0
+        else:
+            # window rows may straddle a block boundary -> +1 block
+            self.window_blocks = min(-(-window // bk) + 1, self.nb)
+            self.sink_blocks = min(sinks, self.nb)
+        self.cache_dtype = cache_dtype
+        self.hd = model.hidden_size // model.num_heads
+
+    # -- cache management --------------------------------------------------
+
+    def init_caches(self, batch: int) -> Tuple[KVCache, ...]:
+        """One empty block cache per layer; replicas = batch * heads."""
+        R_kv = batch * self.model.num_heads
+        return tuple(
+            init_kv_cache(R_kv, self.s_max, self.hd, dtype=self.cache_dtype)
+            for _ in range(self.model.num_layers))
+
+    # -- shared layer math (mirrors SparseTransformer.__call__) -------------
+
+    def _qkv(self, lp, x):
+        """[b, s, h] -> q, k, v each [b, s, heads, hd] (the model's fused
+        QKV projection + per-head split, ``transformer.py:149-151``)."""
+        b, s, _ = x.shape
+        heads = self.model.num_heads
+        qkv = _dense(lp["self_attention"]["query_key_value"], x)
+        qkv = qkv.reshape(b, s, heads, 3 * self.hd)
+        return jnp.split(qkv, 3, axis=-1)
+
+    def _fold(self, x):
+        b, s, h, hd = x.shape
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, hd)
+
+    def _mlp(self, lp, x):
+        m = self.model
+        y = _dense(lp["mlp"]["to_4h"], x)
+        if m.activation == "gelu":
+            y = jax.nn.gelu(y)
+        elif m.activation == "relu":
+            y = jax.nn.relu(y)
+        return _dense(lp["mlp"]["to_h"], y)
+
+    def _block(self, lp, x, attn_fn):
+        """One transformer layer around a supplied attention body."""
+        m = self.model
+
+        def maybe_ln(y, name):
+            return _layernorm(lp[name], y) if m.use_layernorm else y
+
+        attn_in = maybe_ln(x, "ln_attn")
+        q, k, v = self._qkv(lp, attn_in)
+        ctx = attn_fn(q, k, v)
+        attn = _dense(lp["self_attention"]["dense"], ctx)
+        x = x + attn if m.use_residual else attn
+        mlp = self._mlp(lp, maybe_ln(x, "ln_mlp"))
+        return (x + mlp if m.use_residual else mlp), (k, v)
+
+    def _layer_params(self, params, i):
+        p = params.get("params", params)
+        return p[f"layer_{i}"]
+
+    # -- prefill -------------------------------------------------------------
+
+    def prefill(self, params, x, caches: Sequence[KVCache]):
+        """Run the prompt ``x [b, T, h]`` through the model (fused-flash
+        attention on the model's own mask topology) and bulk-write every
+        layer's K/V into ``caches``. Returns ``(y [b, T, h], caches)``."""
+        m = self.model
+        mt = m.mask_topology
+        b, T, _ = x.shape
+        if T != mt.m:
+            raise ValueError(f"prompt length {T} != mask rows {mt.m}")
+        scale = 1.0 / float(np.sqrt(self.hd))
+        core = bp.BatchedPanelSpec.from_many_mask(
+            mt, heads=m.num_heads, bm=128, bk=128)
+
+        new_caches = []
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+
+            def attn(q, k, v):
+                q3, k3, v3 = self._fold(q), self._fold(k), self._fold(v)
+                if m.attention_layout == "panel" or T < 128:
+                    s_ = bp.sddmm_bh(core, q3, k3) * scale
+                    w = bp.sparse_softmax_bh(core, s_)
+                    ctx = bp.spmm_bh(core, w, v3)
+                else:
+                    ctx = fused_sparse_attention(core, q3, k3, v3,
+                                                 scale=scale)
+                ctx = ctx.reshape(b, m.num_heads, T, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, T, m.num_heads * self.hd)
+
+            x, (k, v) = self._block(lp, x, attn)
+            new_caches.append(
+                prefill_kv(caches[i], self._fold(k), self._fold(v)))
+        return x, tuple(new_caches)
+
+    # -- decode --------------------------------------------------------------
+
+    def decode_step(self, params, x_tok, caches: Sequence[KVCache]):
+        """Advance one token: ``x_tok [b, 1, h]`` -> ``(y [b, 1, h],
+        caches)``. Appends each layer's K/V, then attends over the block
+        table (sinks + window, or the full causal history)."""
+        m = self.model
+        b = x_tok.shape[0]
+        scale = 1.0 / float(np.sqrt(self.hd))
+
+        new_caches = []
+        x = x_tok
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+            cache = caches[i]
+
+            def attn(q, k, v):
+                nonlocal cache
+                # k, v: [b, 1, heads, hd] -> [R_kv, hd]
+                cache = append_kv(cache, self._fold(k)[:, 0],
+                                  self._fold(v)[:, 0])
+                tbl, valid = decode_block_table(
+                    cache.kv_len, s_max=self.s_max, bk=self.bk,
+                    window_blocks=self.window_blocks,
+                    sink_blocks=self.sink_blocks)
+                ctx = decode_attention(
+                    self._fold(q), cache, tbl, valid,
+                    bk=self.bk, qlen=1, scale=scale)    # [R, 1, hd]
+                ctx = ctx.reshape(b, m.num_heads, 1, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, 1, m.num_heads * self.hd)
+
+            x, _ = self._block(lp, x, attn)
+            new_caches.append(cache)
+        return x, tuple(new_caches)
+
+    def decode_loop(self, params, x_tok, caches: Sequence[KVCache],
+                    n_tokens: int, next_input=None):
+        """Decode ``n_tokens`` inside ONE jit via ``lax.scan`` — the
+        production loop shape (per-step Python dispatch costs ~1 ms
+        through a remote-TPU tunnel; scanning removes it).
+
+        ``next_input(y) -> x`` maps a step's output activation to the next
+        input (identity by default; a real deployment puts its
+        logits->embedding sampling here). Returns ``(ys [n_tokens, b, 1,
+        h], caches)``."""
+        nxt = next_input or (lambda y: y)
+
+        def body(carry, _):
+            x, caches = carry
+            y, caches = self.decode_step(params, x, caches)
+            return (nxt(y), caches), y
+
+        (_, caches), ys = jax.lax.scan(
+            body, (x_tok, tuple(caches)), None, length=n_tokens)
+        return ys, caches

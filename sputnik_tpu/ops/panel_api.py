@@ -319,13 +319,17 @@ def _sddmm_impl(spec, lhs, rhs):
         if spec.compressed:
             from .pallas import bsr_compressed as _c
 
-            return _c.bsr_sddmm_panel_c(
+            out = _c.bsr_sddmm_panel_c(
                 jnp.asarray(bv.block_offsets),
                 jnp.asarray(bv.block_cols),
                 lhs_pad, rhs_pad, jnp.asarray(bv.mask, jnp.float32),
                 mb=bv.mb, max_bpr=bv.max_bpr, num_blocks=bv.num_blocks,
                 bm=spec.bm, bk=spec.bk, bd=bd, interpret=_interp(),
             )
+            # the dump slot is only visited when some row-block clamps;
+            # otherwise its content is undefined (NaN in interpret mode) —
+            # poison for global-norm/optimizer passes over the raw panel
+            return out.at[bv.num_blocks].set(0.0)
         return _sddmm_mod.bsr_sddmm_panel(
             jnp.asarray(bv.block_cols.reshape(-1)),
             jnp.asarray(bv.nblocks),
@@ -492,7 +496,9 @@ def _softmax_bwd(spec, p, g):
             rs_pad = jnp.zeros((bv.m_pad,), p.dtype).at[: t.m].set(rs_rows)
         rs2d = rs_pad.reshape(bv.mb, bv.bm)
         rs_b = jnp.take(rs2d, jnp.asarray(bv.block_rows), axis=0)[:, :, None]
-        return (p * (g - rs_b),)
+        # p is 0 at the dump slot but an undefined upstream cotangent there
+        # (0 * NaN = NaN) must not leak into the raw gradient array
+        return ((p * (g - rs_b)).at[bv.num_blocks].set(0.0),)
     pg = p * g
     rs = jnp.sum(pg, axis=(1, 3), keepdims=True)
     return (p * (g - rs),)

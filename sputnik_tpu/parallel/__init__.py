@@ -12,6 +12,14 @@ operands replicated or column-sharded, XLA collectives (``psum`` /
 from .partition import RowPartition
 from .flash_sharded import ShardedFlashSpec, flash_attention_sharded
 from .pipeline import PipelineSpec, pipeline_apply, stack_stage_params
+from .sharded_compressed import (
+    ShardedCompressedSpec,
+    sharded_sddmm_c,
+    sharded_softmax_c,
+    sharded_spmm_c,
+    sharded_spmm_t_c,
+    sparse_attention_sharded_c,
+)
 from .sharded_ops import (
     ShardedPanelSpec,
     sharded_sddmm,
@@ -25,15 +33,21 @@ from .sharded_ops import (
 __all__ = [
     "PipelineSpec",
     "RowPartition",
+    "ShardedCompressedSpec",
     "ShardedFlashSpec",
     "ShardedPanelSpec",
     "flash_attention_sharded",
     "pipeline_apply",
     "stack_stage_params",
     "sharded_spmm",
+    "sharded_spmm_c",
     "sharded_spmm_halo",
     "sharded_spmm_t",
+    "sharded_spmm_t_c",
     "sharded_sddmm",
+    "sharded_sddmm_c",
     "sharded_softmax",
+    "sharded_softmax_c",
     "sparse_attention_sharded",
+    "sparse_attention_sharded_c",
 ]

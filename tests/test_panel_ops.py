@@ -266,6 +266,48 @@ def test_compressed_algebra_closure():
                                atol=1e-3)
 
 
+def test_compressed_uniform_blocks_no_nan_dump():
+    """Regression: when every row-block has the SAME block count, the
+    compressed kernels' dump slot is never visited by the grid and its
+    content is undefined (NaN in interpret mode). The raw gradient arrays
+    must still be fully finite — a global-norm pass over the whole panel
+    param (as any optimizer does) would otherwise see NaN."""
+    rng = np.random.RandomState(11)
+    m = 128
+    A = np.zeros((m, m), np.float32)
+    for i in range(m):                      # exactly 1 block per row-block
+        j0 = (i // 32) * 32
+        A[i, j0: j0 + 32] = rng.randn(32)
+    mat = st.SparseMatrix(A)
+    spec = P.PanelSpec(mat.topology, bm=32, bk=32, compressed=True)
+
+    lhs = jnp.asarray(rng.randn(m, 16).astype(np.float32))
+    rhs = jnp.asarray(rng.randn(m, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(m, 24).astype(np.float32))
+
+    def chain(l, r, vv):
+        scores = P.sddmm(spec, l, r)
+        w = P.sparse_softmax(spec, scores)
+        return P.spmm(spec, w, vv)
+
+    st.set_backend("pallas")
+    try:
+        out = chain(lhs, rhs, v)
+        grads = jax.grad(
+            lambda l, r, vv: jnp.sum(chain(l, r, vv) ** 2),
+            argnums=(0, 1, 2))(lhs, rhs, v)
+        # raw panel gradient (what an optimizer would see)
+        panel = jnp.asarray(P.values_to_panel_np(
+            mat.topology, mat.values, 32, 32, compressed=True))
+        gp = jax.grad(lambda p: jnp.sum(P.spmm(spec, p, v) ** 2))(panel)
+    finally:
+        st.set_backend("auto")
+    assert np.isfinite(np.asarray(out)).all()
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+    assert np.isfinite(np.asarray(gp)).all()
+
+
 def test_compressed_softmax_gradcheck():
     rng = np.random.RandomState(9)
     m = 96

@@ -35,7 +35,7 @@ from .pallas import bsr_spmm_int8 as _k8
 
 __all__ = ["QuantizedPanel", "quantize_panel", "quantize_panel_jnp",
            "spmm_int8", "spmm_t_int8", "sddmm_int8", "attention_int8",
-           "quantize_rows_np", "spmm_qat"]
+           "quantize_rows_np", "spmm_qat", "attention_qat"]
 
 
 @jax.tree_util.register_dataclass
@@ -218,6 +218,41 @@ def _qat_bwd(spec, res, g):
 
 
 spmm_qat.defvjp(_qat_fwd, _qat_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _attention_qat(spec, scale, q, k, v):
+    return attention_int8(spec, q, k, v, scale=scale)
+
+
+def _attn_qat_fwd(spec, scale, q, k, v):
+    return attention_int8(spec, q, k, v, scale=scale), (q, k, v)
+
+
+def _attn_qat_bwd(spec, scale, res, g):
+    # straight-through estimator: gradients of the fp32 fused chain at the
+    # same (q, k, v) — the standard fake-quant training recipe; the int8
+    # rounding is treated as identity in the backward
+    from .fused_attention import fused_sparse_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: fused_sparse_attention(spec, q_, k_, v_,
+                                                  scale=scale), q, k, v)
+    return vjp(g)
+
+
+_attention_qat.defvjp(_attn_qat_fwd, _attn_qat_bwd)
+
+
+def attention_qat(spec, q, k, v, scale=None):
+    """Quantization-aware-training sparse attention: int8 fused FORWARD
+    (what serving will run) with fp32 fused-flash gradients via the
+    straight-through estimator — train with the quantization noise the
+    deployed model will see, backprop at full precision."""
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    return _attention_qat(spec, float(scale), q, k, v)
 
 
 def attention_int8(spec, q, k, v, scale=None):

@@ -230,6 +230,43 @@ def test_int8_flash_attention():
     assert rel < 6e-2, rel
 
 
+def test_int8_qat_attention():
+    """attention_qat: int8 fused forward + fp32 STE backward — forward
+    matches attention_int8, gradients match the fp32 fused chain exactly."""
+    from sputnik_tpu.ops import batched_panel as bp
+    from sputnik_tpu.ops.fused_attention import fused_sparse_attention
+    from sputnik_tpu.many_mask import ManyMaskTopology
+    from sputnik_tpu import int8 as q8
+
+    B, heads, s, hd = 1, 2, 64, 16
+    R = B * heads
+    rng = np.random.RandomState(13)
+    masks = np.tril(np.ones((B, s, s), np.float32))
+    mt = ManyMaskTopology.from_dense_masks(masks)
+    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=heads, bm=32, bk=32)
+    q = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+    cot = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+
+    st.set_backend("pallas")
+    try:
+        out = q8.attention_qat(spec, q, k, v)
+        ref_fwd = q8.attention_int8(spec, q, k, v)
+        g = jax.grad(lambda q, k, v: jnp.sum(
+            q8.attention_qat(spec, q, k, v) * cot), argnums=(0, 1, 2))(
+                q, k, v)
+        g_ref = jax.grad(lambda q, k, v: jnp.sum(
+            fused_sparse_attention(spec, q, k, v) * cot),
+            argnums=(0, 1, 2))(q, k, v)
+    finally:
+        st.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_fwd),
+                               atol=1e-6)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_int8_qat_spmm_grads():
     """Quantized training (VERDICT r1 follow-up): spmm_qat under jit —
     W8A8 forward, int8 backward (spmm_t_int8 + sddmm_int8 STE) — forward

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--int8", action="store_true",
                     help="int8 KV cache (half the decode HBM traffic)")
+    ap.add_argument("--bf16-params", action="store_true",
+                    help="serve with bf16-stored weights (half the "
+                         "per-token weight traffic)")
     ap.add_argument("--window", type=int, default=0,
                     help="sliding-window tokens (0 = full causal)")
     ap.add_argument("--tokens", type=int, default=0,
@@ -61,6 +64,8 @@ def main():
         model, s_max=s_max, bk=bk,
         window=args.window or None, sinks=1 if args.window else 0,
         cache_dtype=jnp.int8 if args.int8 else jnp.bfloat16)
+    if args.bf16_params:
+        params = SparseDecoder.cast_params(params)
     caches = dec.init_caches(b)
 
     t0 = time.perf_counter()
@@ -82,6 +87,8 @@ def main():
     tok = ys[-1]
 
     kv = "int8" if args.int8 else "bf16"
+    if args.bf16_params:
+        kv += "+bf16w"
     win = f"window={args.window}" if args.window else "causal"
     print(f"generate (b={b} P={P} h={h} L={layers} {win} kv={kv}): "
           f"prefill {t_prefill*1e3:.1f} ms (incl compile), "

@@ -92,6 +92,23 @@ class SparseDecoder:
         self.cache_dtype = cache_dtype
         self.hd = model.hidden_size // model.num_heads
 
+    # -- params ------------------------------------------------------------
+
+    @staticmethod
+    def cast_params(params, dtype=jnp.bfloat16):
+        """Cast parameters for serving (bf16 halves the per-token weight
+        traffic, usually the dominant decode bytes). LayerNorm scales/
+        biases stay f32 for stability; matmuls read bf16 weights and
+        accumulate f32 (x f32 @ W bf16 promotes to f32)."""
+
+        def cast(path, p):
+            names = [getattr(k, "key", str(k)) for k in path]
+            if any(n.startswith("ln_") for n in names):
+                return p
+            return p.astype(dtype) if hasattr(p, "astype") else p
+
+        return jax.tree_util.tree_map_with_path(cast, params)
+
     # -- cache management --------------------------------------------------
 
     def init_caches(self, batch: int) -> Tuple[KVCache, ...]:

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--bf16-params", action="store_true",
                     help="serve with bf16-stored weights (half the "
                          "per-token weight traffic)")
+    ap.add_argument("--kv-heads", type=int, default=0,
+                    help="grouped-query attention: KV heads (0 = MHA); "
+                         "the KV cache shrinks by heads/kv_heads")
     ap.add_argument("--window", type=int, default=0,
                     help="sliding-window tokens (0 = full causal)")
     ap.add_argument("--tokens", type=int, default=0,
@@ -53,8 +56,8 @@ def main():
                             (b, P, P)).copy()
     model = SparseTransformer.from_masks(
         masks, num_layers=layers, hidden_size=h, num_heads=heads,
-        ffn_hidden_size=ffn, use_residual=True, use_layernorm=True,
-        activation="gelu")
+        ffn_hidden_size=ffn, num_kv_heads=args.kv_heads or None,
+        use_residual=True, use_layernorm=True, activation="gelu")
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(b, P, h).astype(np.float32) * 0.3)
@@ -89,6 +92,8 @@ def main():
     kv = "int8" if args.int8 else "bf16"
     if args.bf16_params:
         kv += "+bf16w"
+    if args.kv_heads:
+        kv += f"+gqa{args.kv_heads}"
     win = f"window={args.window}" if args.window else "causal"
     print(f"generate (b={b} P={P} h={h} L={layers} {win} kv={kv}): "
           f"prefill {t_prefill*1e3:.1f} ms (incl compile), "

@@ -91,6 +91,14 @@ class SparseDecoder:
             self.sink_blocks = min(sinks, self.nb)
         self.cache_dtype = cache_dtype
         self.hd = model.hidden_size // model.num_heads
+        # GQA: cache only the KV heads; the decode kernel maps each group
+        # of `group` query heads onto its shared KV replica.
+        self.kv_heads = model.num_kv_heads or model.num_heads
+        if model.num_heads % self.kv_heads:
+            raise ValueError(
+                f"num_kv_heads {self.kv_heads} must divide "
+                f"num_heads {model.num_heads}")
+        self.group = model.num_heads // self.kv_heads
 
     # -- params ------------------------------------------------------------
 
@@ -112,8 +120,9 @@ class SparseDecoder:
     # -- cache management --------------------------------------------------
 
     def init_caches(self, batch: int) -> Tuple[KVCache, ...]:
-        """One empty block cache per layer; replicas = batch * heads."""
-        R_kv = batch * self.model.num_heads
+        """One empty block cache per layer; replicas = batch * KV heads
+        (GQA models cache ``num_heads / num_kv_heads`` times less)."""
+        R_kv = batch * self.kv_heads
         return tuple(
             init_kv_cache(R_kv, self.s_max, self.hd, dtype=self.cache_dtype)
             for _ in range(self.model.num_layers))
@@ -121,13 +130,19 @@ class SparseDecoder:
     # -- shared layer math (mirrors SparseTransformer.__call__) -------------
 
     def _qkv(self, lp, x):
-        """[b, s, h] -> q, k, v each [b, s, heads, hd] (the model's fused
-        QKV projection + per-head split, ``transformer.py:149-151``)."""
+        """[b, s, h] -> q [b, s, heads, hd], k/v [b, s, kv_heads, hd]
+        (mirrors the model's fused QKV projection + split —
+        head-interleaved for MHA, flat q|k|v blocks for GQA)."""
         b, s, _ = x.shape
-        heads = self.model.num_heads
+        heads, kv, hd = self.model.num_heads, self.kv_heads, self.hd
         qkv = _dense(lp["self_attention"]["query_key_value"], x)
-        qkv = qkv.reshape(b, s, heads, 3 * self.hd)
-        return jnp.split(qkv, 3, axis=-1)
+        if kv == heads:
+            qkv = qkv.reshape(b, s, heads, 3 * hd)
+            return jnp.split(qkv, 3, axis=-1)
+        q = qkv[..., : heads * hd].reshape(b, s, heads, hd)
+        k = qkv[..., heads * hd: (heads + kv) * hd].reshape(b, s, kv, hd)
+        v = qkv[..., (heads + kv) * hd:].reshape(b, s, kv, hd)
+        return q, k, v
 
     def _fold(self, x):
         b, s, h, hd = x.shape
@@ -181,6 +196,9 @@ class SparseDecoder:
             lp = self._layer_params(params, i)
 
             def attn(q, k, v):
+                if self.group > 1:   # GQA: prefill attends at full heads
+                    k = jnp.repeat(k, self.group, axis=2)
+                    v = jnp.repeat(v, self.group, axis=2)
                 q3, k3, v3 = self._fold(q), self._fold(k), self._fold(v)
                 if m.attention_layout == "panel" or T < 128:
                     s_ = bp.sddmm_bh(core, q3, k3) * scale
@@ -203,10 +221,26 @@ class SparseDecoder:
     def decode_step(self, params, x_tok, caches: Sequence[KVCache]):
         """Advance one token: ``x_tok [b, 1, h]`` -> ``(y [b, 1, h],
         caches)``. Appends each layer's K/V, then attends over the block
-        table (sinks + window, or the full causal history)."""
+        table (sinks + window, or the full causal history).
+
+        The serving loop keeps every sequence at the same length, so the
+        cache write position is ONE scalar: ``append_kv(..., pos=pos)``
+        is a single aliasable ``dynamic_update_slice`` (the per-replica
+        path lowers to a TPU scatter that costs more than the rest of the
+        step combined — see ``append_kv``), and the block table is
+        computed once per step, not per layer (``kv_len`` is identical
+        across layers)."""
         m = self.model
         b = x_tok.shape[0]
         scale = 1.0 / float(np.sqrt(self.hd))
+
+        # Shared across layers: scalar write position and the post-append
+        # block table (every layer's cache has the same lengths).
+        pos = caches[0].kv_len[0]
+        tbl, valid = decode_block_table(
+            caches[0].kv_len + 1, s_max=self.s_max, bk=self.bk,
+            window_blocks=self.window_blocks,
+            sink_blocks=self.sink_blocks)
 
         new_caches = []
         x = x_tok
@@ -216,16 +250,13 @@ class SparseDecoder:
 
             def attn(q, k, v):
                 nonlocal cache
-                # k, v: [b, 1, heads, hd] -> [R_kv, hd]
+                # k, v: [b, 1, kv_heads, hd] -> [R_kv, hd]
                 cache = append_kv(cache, self._fold(k)[:, 0],
-                                  self._fold(v)[:, 0])
-                tbl, valid = decode_block_table(
-                    cache.kv_len, s_max=self.s_max, bk=self.bk,
-                    window_blocks=self.window_blocks,
-                    sink_blocks=self.sink_blocks)
+                                  self._fold(v)[:, 0], pos=pos)
                 ctx = decode_attention(
                     self._fold(q), cache, tbl, valid,
-                    bk=self.bk, qlen=1, scale=scale)    # [R, 1, hd]
+                    bk=self.bk, qlen=1, group=self.group,
+                    scale=scale)                        # [R, 1, hd]
                 ctx = ctx.reshape(b, m.num_heads, 1, self.hd)
                 return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
                     b, 1, m.num_heads * self.hd)

@@ -84,9 +84,18 @@ class SparseCoreAttention(nn.Module):
         return cached[key]
 
     def __call__(self, q, k, v):
-        """q, k, v: ``[b, s, heads, head_dim]`` -> ``[b, s, h]``."""
+        """q: ``[b, s, heads, head_dim]``; k, v: same, or with fewer
+        (grouped-query) KV heads dividing ``heads`` -> ``[b, s, h]``."""
         mt = self.mask_topology
         b, s, h, hd = q.shape
+        if k.shape[2] != h:
+            kv = k.shape[2]
+            if kv == 0 or h % kv:
+                raise ValueError(f"kv heads {kv} must divide heads {h}")
+            # GQA: training-path attention runs at full heads (the win is
+            # parameter/KV-cache size; the decode kernel groups natively).
+            k = jnp.repeat(k, h // kv, axis=2)
+            v = jnp.repeat(v, h // kv, axis=2)
         if b != mt.b:
             raise ValueError(f"batch {b} != mask batch {mt.b}")
         if s != mt.m:
@@ -130,11 +139,19 @@ class SparseCoreAttention(nn.Module):
 
 
 class SparseSelfAttention(nn.Module):
-    """Fused-QKV self-attention block (``modules.py:83-119``)."""
+    """Fused-QKV self-attention block (``modules.py:83-119``).
+
+    ``num_kv_heads`` (default: ``num_heads``) enables grouped-query
+    attention: K/V are projected to fewer heads, shrinking the QKV
+    parameters and — the real point — the serving KV cache by
+    ``num_heads / num_kv_heads`` (``models/serving.SparseDecoder`` stores
+    and attends over only the KV heads; the fused decode kernel groups
+    query heads natively)."""
 
     mask_topology: mm.ManyMaskTopology
     hidden_size: int
     num_heads: int
+    num_kv_heads: Optional[int] = None
     attention_layout: str = "flash"
 
     @nn.compact
@@ -145,10 +162,25 @@ class SparseSelfAttention(nn.Module):
         if self.hidden_size % self.num_heads:
             raise ValueError("hidden_size must divide by num_heads")
         hd = self.hidden_size // self.num_heads
+        kv = self.num_kv_heads or self.num_heads
+        if self.num_heads % kv:
+            raise ValueError(
+                f"num_kv_heads {kv} must divide num_heads {self.num_heads}")
 
-        qkv = nn.Dense(3 * self.hidden_size, name="query_key_value")(x)
-        qkv = qkv.reshape(b, s, self.num_heads, 3 * hd)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if kv == self.num_heads:
+            # head-interleaved layout, identical to the pre-GQA parameters
+            qkv = nn.Dense(3 * self.hidden_size, name="query_key_value")(x)
+            qkv = qkv.reshape(b, s, self.num_heads, 3 * hd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            qkv = nn.Dense((self.num_heads + 2 * kv) * hd,
+                           name="query_key_value")(x)
+            q = qkv[..., : self.num_heads * hd]
+            q = q.reshape(b, s, self.num_heads, hd)
+            k = qkv[..., self.num_heads * hd: (self.num_heads + kv) * hd]
+            k = k.reshape(b, s, kv, hd)
+            v = qkv[..., (self.num_heads + kv) * hd:]
+            v = v.reshape(b, s, kv, hd)
 
         ctx = SparseCoreAttention(
             mask_topology=self.mask_topology, num_heads=self.num_heads,
@@ -185,6 +217,7 @@ class TransformerLayer(nn.Module):
     hidden_size: int
     num_heads: int
     ffn_hidden_size: int
+    num_kv_heads: Optional[int] = None
     activation: Optional[str] = None
     use_residual: bool = False
     use_layernorm: bool = False
@@ -200,6 +233,7 @@ class TransformerLayer(nn.Module):
             mask_topology=self.mask_topology,
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
+            num_kv_heads=self.num_kv_heads,
             attention_layout=self.attention_layout,
             name="self_attention",
         )(attn_in)
@@ -223,6 +257,7 @@ class SparseTransformer(nn.Module):
     hidden_size: int
     num_heads: int
     ffn_hidden_size: int
+    num_kv_heads: Optional[int] = None
     activation: Optional[str] = None
     use_residual: bool = False
     use_layernorm: bool = False
@@ -243,6 +278,7 @@ class SparseTransformer(nn.Module):
                 hidden_size=self.hidden_size,
                 num_heads=self.num_heads,
                 ffn_hidden_size=self.ffn_hidden_size,
+                num_kv_heads=self.num_kv_heads,
                 activation=self.activation,
                 use_residual=self.use_residual,
                 use_layernorm=self.use_layernorm,

@@ -83,9 +83,19 @@ def _quantize_token(x):
     return q, scale
 
 
-def append_kv(cache: KVCache, k_new, v_new) -> KVCache:
+def append_kv(cache: KVCache, k_new, v_new, pos=None) -> KVCache:
     """Append one token per replica. ``k_new``/``v_new``: ``[R_kv, hd]``
-    (hd <= hd_pad; padded with zeros). Functional: returns a new cache."""
+    (hd <= hd_pad; padded with zeros). Functional: returns a new cache.
+
+    ``pos``: optional scalar i32 write position shared by ALL replicas
+    (the common serving case — every sequence in the batch is at the same
+    length). With ``pos`` the update is ONE scalar-indexed
+    ``dynamic_update_slice`` that XLA aliases in place inside a decode
+    scan. Without it, the per-replica ``kv_len`` offsets force a vmapped
+    DUS that lowers to a TPU scatter — measured ~3.6 ms/token of pure
+    cache-copy on a 6-layer model (benchmarks/RESULTS.md) vs ~0 for the
+    scalar path. Keep the ragged path only for genuinely ragged batches.
+    """
     R, s_max, hd_pad = cache.k.shape
     kp = jnp.zeros((R, hd_pad), jnp.float32)
     kp = kp.at[:, : k_new.shape[-1]].set(k_new.astype(jnp.float32))
@@ -98,6 +108,19 @@ def append_kv(cache: KVCache, k_new, v_new) -> KVCache:
     else:
         kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
         ks = vs = jnp.ones((R,), jnp.float32)
+
+    if pos is not None:
+        z = jnp.int32(0)
+        p = jnp.asarray(pos, jnp.int32)
+        return KVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, kq[:, None], (z, p, z)),
+            v=jax.lax.dynamic_update_slice(cache.v, vq[:, None], (z, p, z)),
+            kv_len=cache.kv_len + 1,
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, ks[:, None], (z, p)),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, vs[:, None], (z, p)),
+        )
 
     def upd(buf, tok, ln):
         return jax.lax.dynamic_update_slice(
@@ -230,10 +253,13 @@ def decode_attention(q, cache: KVCache, tbl, valid, *,
     """Sparse decode attention: ``q [R, qlen, hd]`` against the tabled KV
     blocks. Returns ``f32[R, qlen, hd]``.
 
-    ``tbl``/``valid``: ``i32[R, S]`` from ``decode_block_table`` (or a
-    broadcast static table). ``group``: query replicas per KV replica
-    (GQA). ``qlen > 1``: speculative verification — queries are the last
-    ``qlen`` cache positions, causally masked.
+    ``tbl``/``valid``: ``i32[R, S]`` per QUERY replica, or ``[R_kv, S]``
+    per KV replica (the shape ``decode_block_table`` produces from a
+    grouped cache's ``kv_len``) — the latter is expanded here so each
+    query group reads its shared KV replica's table. ``group``: query
+    replicas per KV replica (GQA). ``qlen > 1``: speculative
+    verification — queries are the last ``qlen`` cache positions,
+    causally masked.
     """
     R, qn, hd = q.shape
     if qn != qlen:
@@ -245,6 +271,16 @@ def decode_attention(q, cache: KVCache, tbl, valid, *,
     if R != cache.k.shape[0] * group:
         raise ValueError(
             f"R {R} != R_kv {cache.k.shape[0]} * group {group}")
+    if group > 1 and tbl.shape[0] == cache.k.shape[0]:
+        # per-KV tables -> per-query (the kernel and oracle index by
+        # query replica; an un-expanded table would read out of range
+        # for r >= R_kv — silently wrong on hardware)
+        tbl = jnp.repeat(tbl, group, axis=0)
+        valid = jnp.repeat(valid, group, axis=0)
+    if tbl.shape[0] != R or valid.shape[0] != R:
+        raise ValueError(
+            f"tbl/valid rows {tbl.shape[0]}/{valid.shape[0]} != R {R} "
+            f"(or R_kv {cache.k.shape[0]})")
     scale = float(scale) if scale is not None else float(hd) ** -0.5
     hd_pad = cache.k.shape[-1]
 

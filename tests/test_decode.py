@@ -43,6 +43,43 @@ class TestKVCache:
         assert cache.k.shape == (2, 512, 128)  # hd padded to lane width
         assert float(jnp.abs(cache.k[:, 5:]).max()) == 0.0
 
+    def test_scalar_pos_matches_ragged_path(self):
+        """append_kv(pos=...) (the aliasable serving fast path) must write
+        exactly what the per-replica vmapped path writes."""
+        rng = np.random.RandomState(3)
+        for dtype in (jnp.float32, jnp.int8):
+            a = D.init_kv_cache(3, 128, 64, dtype=dtype)
+            b = D.init_kv_cache(3, 128, 64, dtype=dtype)
+            for t in range(4):
+                k = jnp.asarray(rng.randn(3, 64).astype(np.float32))
+                v = jnp.asarray(rng.randn(3, 64).astype(np.float32))
+                a = D.append_kv(a, k, v)
+                b = D.append_kv(b, k, v, pos=b.kv_len[0])
+            for f in ("k", "v", "k_scale", "v_scale", "kv_len"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+                    err_msg=f"{dtype} field {f}")
+
+    def test_scalar_pos_under_jit_scan(self):
+        """The fast path must work as a scan carry (the decode loop)."""
+        cache = D.init_kv_cache(2, 128, 64, dtype=jnp.bfloat16)
+        toks = jnp.asarray(
+            np.random.RandomState(4).randn(5, 2, 64).astype(np.float32))
+
+        @jax.jit
+        def run(cache, toks):
+            def body(c, t):
+                return D.append_kv(c, t, t, pos=c.kv_len[0]), ()
+            c, _ = jax.lax.scan(body, cache, toks)
+            return c
+
+        out = run(cache, toks)
+        assert out.kv_len.tolist() == [5, 5]
+        np.testing.assert_allclose(
+            np.asarray(out.k[:, :5, :64], np.float32),
+            np.asarray(jnp.transpose(toks, (1, 0, 2)).astype(jnp.bfloat16),
+                       np.float32))
+
     def test_int8_roundtrip(self):
         rng = np.random.RandomState(1)
         cache = D.init_kv_cache(1, 256, 128, dtype=jnp.int8)
@@ -199,6 +236,33 @@ class TestDecodeAttention:
             st.set_backend("auto")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-2, atol=2e-4)
+
+    def test_gqa_accepts_per_kv_table(self):
+        """Passing the [R_kv, S] table straight from decode_block_table
+        (what SparseDecoder does) must equal the pre-expanded [R, S]
+        form. Regression: the kernel indexes tables by QUERY replica, so
+        an un-expanded table read out of range for r >= R_kv — silently
+        wrong on hardware (caught by a TPU drive at 63% rel err)."""
+        rng = np.random.RandomState(6)
+        R_kv, group, s_max, hd, bk = 2, 2, 512, 64, 128
+        cache = _filled_cache(R_kv, s_max, hd, 300, rng)
+        q = jnp.asarray(rng.randn(R_kv * group, 1, hd).astype(np.float32))
+        tbl, valid = D.decode_block_table(
+            cache.kv_len, s_max=s_max, bk=bk, window_blocks=2,
+            sink_blocks=1)
+        for backend in ("pallas", "xla"):
+            st.set_backend(backend)
+            try:
+                got = D.decode_attention(q, cache, tbl, valid, bk=bk,
+                                         group=group)
+                ref = D.decode_attention(
+                    q, cache, jnp.repeat(tbl, group, axis=0),
+                    jnp.repeat(valid, group, axis=0), bk=bk, group=group)
+            finally:
+                st.set_backend("auto")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=backend)
 
     def test_speculative_qlen_causal(self):
         """qlen=4: each query row only sees keys up to its own position."""

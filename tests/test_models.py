@@ -203,6 +203,47 @@ class TestSparseTransformer:
             losses.append(float(loss))
         assert losses[-1] < losses[0]
 
+    def test_gqa_forward_backward(self):
+        """Grouped-query attention: fewer KV heads, same output shape,
+        finite grads, and the QKV projection shrinks accordingly."""
+        b, s, h, heads, kv = 2, 32, 32, 4, 2
+        masks = np.broadcast_to(causal_mask(s), (b, s, s)).copy()
+        model = SparseTransformer.from_masks(
+            masks, num_layers=1, hidden_size=h, num_heads=heads,
+            num_kv_heads=kv, ffn_hidden_size=64)
+        x = jnp.asarray(init_uniform((b, s, h), seed=21))
+        params = model.init(jax.random.PRNGKey(7), x)
+        hd = h // heads
+        kern = params["params"]["layer_0"]["self_attention"][
+            "query_key_value"]["kernel"]
+        assert kern.shape == (h, (heads + 2 * kv) * hd)
+        y = model.apply(params, x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+        g = jax.grad(lambda p: jnp.sum(model.apply(p, x)))(params)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(g))
+
+    def test_gqa_equals_repeated_kv_mha(self):
+        """A GQA core must equal full-head attention with K/V explicitly
+        repeated across each group."""
+        from sputnik_tpu.models.transformer import SparseCoreAttention
+        from sputnik_tpu import many_mask as mm
+        b, s, heads, kv, hd = 2, 32, 4, 2, 8
+        masks = np.broadcast_to(causal_mask(s), (b, s, s)).copy()
+        mt = mm.ManyMaskTopology.from_dense_masks(masks)
+        rng = np.random.RandomState(5)
+        q = jnp.asarray(rng.randn(b, s, heads, hd).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, s, kv, hd).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, s, kv, hd).astype(np.float32))
+        core = SparseCoreAttention(mask_topology=mt, num_heads=heads,
+                                   layout="panel")
+        y_gqa = core.apply({}, q, k, v)
+        y_rep = core.apply({}, q, jnp.repeat(k, heads // kv, axis=2),
+                           jnp.repeat(v, heads // kv, axis=2))
+        np.testing.assert_allclose(np.asarray(y_gqa), np.asarray(y_rep),
+                                   atol=1e-6)
+
     def test_residual_layernorm_variant(self):
         b, s, h = 2, 16, 16
         masks = np.broadcast_to(causal_mask(s), (b, s, s)).copy()

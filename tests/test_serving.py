@@ -87,6 +87,39 @@ def test_decode_loop_matches_steps():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_gqa_decode_matches_full_forward():
+    """GQA serving: caches sized by KV heads; grouped decode must still
+    reproduce the full forward on every extended prefix."""
+    b, P, T, h, heads, kv = 2, 8, 12, 32, 4, 2
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(b, T, h).astype(np.float32) * 0.3)
+
+    def build(s):
+        return SparseTransformer.from_masks(
+            _causal(b, s), num_layers=2, hidden_size=h, num_heads=heads,
+            num_kv_heads=kv, ffn_hidden_size=48, use_residual=True,
+            use_layernorm=True, activation="gelu")
+
+    ref_model = build(T)
+    params = ref_model.init(jax.random.PRNGKey(0), x)
+    dec = SparseDecoder(build(P), s_max=16, bk=8, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    assert caches[0].k.shape[0] == b * kv  # GQA cache is 2x smaller
+
+    y_pre, caches = dec.prefill(params, x[:, :P], caches)
+    y_flax = build(P).apply(params, x[:, :P])
+    np.testing.assert_allclose(np.asarray(y_pre), np.asarray(y_flax),
+                               atol=1e-4, rtol=1e-4)
+
+    step = jax.jit(dec.decode_step)
+    for t in range(P, T):
+        y_tok, caches = step(params, x[:, t:t + 1], caches)
+        y_full = build(t + 1).apply(params, x[:, : t + 1])
+        ref = np.asarray(y_full[:, t])
+        err = np.abs(np.asarray(y_tok[:, 0]) - ref).max()
+        assert err / np.abs(ref).max() < 2e-4, (t, err)
+
+
 def test_decode_sliding_window():
     """Sinks + sliding-window decode: the block table must cover exactly
     the sink blocks plus the trailing window, and the step must stay

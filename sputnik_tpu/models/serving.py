@@ -157,8 +157,15 @@ class SparseDecoder:
             y = jax.nn.relu(y)
         return _dense(lp["mlp"]["to_h"], y)
 
-    def _block(self, lp, x, attn_fn):
-        """One transformer layer around a supplied attention body."""
+    def _block(self, lp, x, attn_fn, reduce_fn=None):
+        """One transformer layer around a supplied attention body.
+
+        ``reduce_fn`` (tensor parallelism): applied to the attention
+        output projection and the MLP down projection — the two
+        row-sharded matmuls whose partial sums must be ``psum``-reduced
+        across the tp axis (``parallel/serving_tp.TPDecoder`` passes
+        ``lax.psum``; their biases are pre-divided by tp at shard time
+        so the reduction adds them back exactly once)."""
         m = self.model
 
         def maybe_ln(y, name):
@@ -168,8 +175,12 @@ class SparseDecoder:
         q, k, v = self._qkv(lp, attn_in)
         ctx = attn_fn(q, k, v)
         attn = _dense(lp["self_attention"]["dense"], ctx)
+        if reduce_fn is not None:
+            attn = reduce_fn(attn)
         x = x + attn if m.use_residual else attn
         mlp = self._mlp(lp, maybe_ln(x, "ln_mlp"))
+        if reduce_fn is not None:
+            mlp = reduce_fn(mlp)
         return (x + mlp if m.use_residual else mlp), (k, v)
 
     def _layer_params(self, params, i):
@@ -178,7 +189,8 @@ class SparseDecoder:
 
     # -- prefill -------------------------------------------------------------
 
-    def prefill(self, params, x, caches: Sequence[KVCache]):
+    def prefill(self, params, x, caches: Sequence[KVCache],
+                reduce_fn=None):
         """Run the prompt ``x [b, T, h]`` through the model (fused-flash
         attention on the model's own mask topology) and bulk-write every
         layer's K/V into ``caches``. Returns ``(y [b, T, h], caches)``."""
@@ -211,14 +223,15 @@ class SparseDecoder:
                 return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
                     b, T, m.num_heads * self.hd)
 
-            x, (k, v) = self._block(lp, x, attn)
+            x, (k, v) = self._block(lp, x, attn, reduce_fn=reduce_fn)
             new_caches.append(
                 prefill_kv(caches[i], self._fold(k), self._fold(v)))
         return x, tuple(new_caches)
 
     # -- decode --------------------------------------------------------------
 
-    def decode_step(self, params, x_tok, caches: Sequence[KVCache]):
+    def decode_step(self, params, x_tok, caches: Sequence[KVCache],
+                    reduce_fn=None):
         """Advance one token: ``x_tok [b, 1, h]`` -> ``(y [b, 1, h],
         caches)``. Appends each layer's K/V, then attends over the block
         table (sinks + window, or the full causal history).
@@ -261,12 +274,12 @@ class SparseDecoder:
                 return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
                     b, 1, m.num_heads * self.hd)
 
-            x, _ = self._block(lp, x, attn)
+            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
             new_caches.append(cache)
         return x, tuple(new_caches)
 
     def decode_loop(self, params, x_tok, caches: Sequence[KVCache],
-                    n_tokens: int, next_input=None):
+                    n_tokens: int, next_input=None, reduce_fn=None):
         """Decode ``n_tokens`` inside ONE jit via ``lax.scan`` — the
         production loop shape (per-step Python dispatch costs ~1 ms
         through a remote-TPU tunnel; scanning removes it).
@@ -279,7 +292,8 @@ class SparseDecoder:
 
         def body(carry, _):
             x, caches = carry
-            y, caches = self.decode_step(params, x, caches)
+            y, caches = self.decode_step(params, x, caches,
+                                         reduce_fn=reduce_fn)
             return (nxt(y), caches), y
 
         (_, caches), ys = jax.lax.scan(

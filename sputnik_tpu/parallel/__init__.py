@@ -12,6 +12,7 @@ operands replicated or column-sharded, XLA collectives (``psum`` /
 from .partition import RowPartition
 from .flash_sharded import ShardedFlashSpec, flash_attention_sharded
 from .pipeline import PipelineSpec, pipeline_apply, stack_stage_params
+from .serving_tp import TPDecoder
 from .sharded_compressed import (
     ShardedCompressedSpec,
     sharded_sddmm_c,
@@ -33,6 +34,7 @@ from .sharded_ops import (
 __all__ = [
     "PipelineSpec",
     "RowPartition",
+    "TPDecoder",
     "ShardedCompressedSpec",
     "ShardedFlashSpec",
     "ShardedPanelSpec",

@@ -1,0 +1,239 @@
+"""Tensor-parallel serving: the SparseDecoder sharded over a ``tp`` axis.
+
+The reference has no serving path and no parallelism (SURVEY.md §1/§2);
+this module composes both of this framework's additions: the block-KV
+``SparseDecoder`` runtime (``models/serving.py``) partitioned
+Megatron-style over a device mesh axis —
+
+  * QKV projection column-sharded by head groups: each device projects
+    and attends its own ``heads/tp`` query heads (``kv_heads/tp`` KV
+    heads under GQA) against its own slice of the KV cache. Attention is
+    embarrassingly parallel across heads, so the decode kernel runs
+    unchanged on local replicas.
+  * attention output projection and MLP down projection row-sharded;
+    their partial sums are ``psum``-reduced across the axis (the two
+    reduction points per layer — ``SparseDecoder._block(reduce_fn=...)``).
+    Row-sharded biases are pre-divided by ``tp`` at shard time so the
+    psum adds them back exactly once.
+  * MLP up projection column-sharded (``ffn/tp`` per device); the
+    activation is elementwise so it rides the sharded columns.
+  * LayerNorm parameters are replicated (stacked per shard).
+
+Everything runs inside ONE ``jax.shard_map`` per call, so a decode step
+costs exactly 2 ``psum``s per layer over ICI; the KV cache never moves.
+
+Per-shard compute reuses ``SparseDecoder`` itself, constructed over a
+"local view" of the model (``heads/tp`` heads, same full hidden size) —
+the sharded runtime is the single-chip runtime plus a reduction hook.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.serving import SparseDecoder
+from ..models.transformer import SparseTransformer
+from ..ops.decode import KVCache, init_kv_cache
+
+__all__ = ["TPDecoder"]
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class TPDecoder:
+    """Tensor-parallel generation runtime.
+
+    Usage::
+
+        mesh = Mesh(np.array(jax.devices()).reshape(tp), ("tp",))
+        tpd = TPDecoder(model, mesh, s_max=..., bk=...)
+        sparams = tpd.shard_params(params)   # [tp, ...]-stacked slices
+        caches = tpd.init_caches(batch)
+        y, caches = jax.jit(tpd.prefill)(sparams, x, caches)
+        ys, caches = jax.jit(lambda p, t, c:
+                             tpd.decode_loop(p, t, c, n))(sparams, tok, c)
+
+    Requires ``num_heads``, ``num_kv_heads`` and ``ffn_hidden_size`` all
+    divisible by the axis size.
+    """
+
+    def __init__(self, model: SparseTransformer, mesh: Mesh, *,
+                 axis: str = "tp", s_max: int, bk: int = 256,
+                 window: Optional[int] = None, sinks: int = 0,
+                 cache_dtype=jnp.bfloat16):
+        tp = mesh.shape[axis]
+        heads = model.num_heads
+        kv = model.num_kv_heads or heads
+        if heads % tp:
+            raise ValueError(f"num_heads {heads} not divisible by tp {tp}")
+        if kv % tp:
+            raise ValueError(f"num_kv_heads {kv} not divisible by tp {tp}")
+        if model.ffn_hidden_size % tp:
+            raise ValueError(
+                f"ffn_hidden_size {model.ffn_hidden_size} not divisible "
+                f"by tp {tp}")
+        self.mesh, self.axis, self.tp = mesh, axis, tp
+        self.model = model
+        self.heads, self.kv = heads, kv
+        self.H_l, self.KV_l = heads // tp, kv // tp
+        self.hd = model.hidden_size // heads
+        # per-shard runtime: the same SparseDecoder over a local view of
+        # the model (local heads, full hidden size for residual/LN/MLP)
+        local_model = model.clone(
+            hidden_size=self.H_l * self.hd,
+            num_heads=self.H_l,
+            num_kv_heads=None if self.KV_l == self.H_l else self.KV_l,
+            ffn_hidden_size=model.ffn_hidden_size // tp,
+        )
+        self._ld = SparseDecoder(
+            local_model, s_max=s_max, bk=bk, window=window, sinks=sinks,
+            cache_dtype=cache_dtype)
+        self.s_max, self.bk = self._ld.s_max, bk
+        self.cache_dtype = cache_dtype
+
+    # -- parameter sharding --------------------------------------------------
+
+    def shard_params(self, params):
+        """Slice the flax parameter tree into per-shard pieces and stack
+        them on a leading ``[tp]`` axis (host-side numpy; ``shard_map``
+        scatters the leading axis across the mesh)."""
+        tp, hd = self.tp, self.hd
+        H, KV, H_l, KV_l = self.heads, self.kv, self.H_l, self.KV_l
+        p = params.get("params", params)
+        out = {}
+        for name, lp in p.items():
+            sa, mlp = lp["self_attention"], lp["mlp"]
+            qk, qb = _np(sa["query_key_value"]["kernel"]), \
+                _np(sa["query_key_value"]["bias"])
+            if KV == H:
+                # head-interleaved [h, H, 3hd]
+                k3 = qk.reshape(qk.shape[0], H, 3 * hd)
+                b3 = qb.reshape(H, 3 * hd)
+                qkv_k = np.stack([
+                    k3[:, s * H_l:(s + 1) * H_l].reshape(qk.shape[0], -1)
+                    for s in range(tp)])
+                qkv_b = np.stack([
+                    b3[s * H_l:(s + 1) * H_l].reshape(-1)
+                    for s in range(tp)])
+            else:
+                # flat [q | k | v] blocks
+                qpart = qk[:, : H * hd]
+                kpart = qk[:, H * hd: (H + KV) * hd]
+                vpart = qk[:, (H + KV) * hd:]
+                qpb = qb[: H * hd]
+                kpb = qb[H * hd: (H + KV) * hd]
+                vpb = qb[(H + KV) * hd:]
+
+                def sl(a, n_l, s):
+                    return a[..., s * n_l * hd:(s + 1) * n_l * hd]
+
+                qkv_k = np.stack([np.concatenate(
+                    [sl(qpart, H_l, s), sl(kpart, KV_l, s),
+                     sl(vpart, KV_l, s)], axis=-1) for s in range(tp)])
+                qkv_b = np.stack([np.concatenate(
+                    [sl(qpb, H_l, s), sl(kpb, KV_l, s), sl(vpb, KV_l, s)],
+                    axis=-1) for s in range(tp)])
+
+            dk, db = _np(sa["dense"]["kernel"]), _np(sa["dense"]["bias"])
+            dense_k = np.stack([
+                dk[s * H_l * hd:(s + 1) * H_l * hd] for s in range(tp)])
+            dense_b = np.stack([db / tp] * tp)   # psum re-adds once
+
+            f_l = _np(mlp["to_4h"]["kernel"]).shape[1] // tp
+            uk, ub = _np(mlp["to_4h"]["kernel"]), _np(mlp["to_4h"]["bias"])
+            vk2, vb2 = _np(mlp["to_h"]["kernel"]), _np(mlp["to_h"]["bias"])
+            up_k = np.stack([uk[:, s * f_l:(s + 1) * f_l]
+                             for s in range(tp)])
+            up_b = np.stack([ub[s * f_l:(s + 1) * f_l] for s in range(tp)])
+            down_k = np.stack([vk2[s * f_l:(s + 1) * f_l]
+                               for s in range(tp)])
+            down_b = np.stack([vb2 / tp] * tp)
+
+            new = {
+                "self_attention": {
+                    "query_key_value": {"kernel": qkv_k, "bias": qkv_b},
+                    "dense": {"kernel": dense_k, "bias": dense_b},
+                },
+                "mlp": {
+                    "to_4h": {"kernel": up_k, "bias": up_b},
+                    "to_h": {"kernel": down_k, "bias": down_b},
+                },
+            }
+            for ln in ("ln_attn", "ln_mlp"):
+                if ln in lp:
+                    new[ln] = {k2: np.stack([_np(v2)] * tp)
+                               for k2, v2 in lp[ln].items()}
+            out[name] = new
+        return {"params": out}
+
+    # -- caches --------------------------------------------------------------
+
+    def init_caches(self, batch: int) -> Tuple[KVCache, ...]:
+        """Global caches: ``[tp * batch * KV_l]`` replicas, shard-major so
+        ``P(axis)`` on dim 0 gives each device its local ``b*KV_l``."""
+        R = self.tp * batch * self.KV_l
+        return tuple(
+            init_kv_cache(R, self.s_max, self.hd, dtype=self.cache_dtype)
+            for _ in range(self.model.num_layers))
+
+    # -- sharded calls -------------------------------------------------------
+
+    def _specs(self, caches):
+        pspec = jax.tree.map(lambda _: P(self.axis), caches)
+        return pspec
+
+    def _local_params(self, sparams):
+        return jax.tree.map(lambda a: a[0], sparams)
+
+    def _shard(self, fn, sparams, caches, n_extra_rep):
+        """shard_map wrapper: params + caches sharded on dim 0, the
+        remaining inputs replicated, y replicated out."""
+        in_specs = (jax.tree.map(lambda _: P(self.axis), sparams),) + \
+            tuple(P() for _ in range(n_extra_rep)) + \
+            (jax.tree.map(lambda _: P(self.axis), caches),)
+        out_specs = (P(), jax.tree.map(lambda _: P(self.axis), caches))
+        return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs)
+
+    def prefill(self, sparams, x, caches):
+        """Prompt pass on every shard's local heads; fills local caches.
+        ``x [b, T, h]`` replicated; returns ``(y [b, T, h], caches)``."""
+        red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
+
+        def f(sp, x_, cs):
+            y, cs = self._ld.prefill(self._local_params(sp), x_, cs,
+                                     reduce_fn=red)
+            return y, cs
+
+        return self._shard(f, sparams, caches, 1)(sparams, x, caches)
+
+    def decode_step(self, sparams, x_tok, caches):
+        red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
+
+        def f(sp, t_, cs):
+            y, cs = self._ld.decode_step(self._local_params(sp), t_, cs,
+                                         reduce_fn=red)
+            return y, cs
+
+        return self._shard(f, sparams, caches, 1)(sparams, x_tok, caches)
+
+    def decode_loop(self, sparams, x_tok, caches, n_tokens: int,
+                    next_input=None):
+        """N tokens inside one jit + one shard_map (a ``lax.scan`` whose
+        body costs 2 psums/layer)."""
+        red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
+
+        def f(sp, t_, cs):
+            ys, cs = self._ld.decode_loop(
+                self._local_params(sp), t_, cs, n_tokens,
+                next_input=next_input, reduce_fn=red)
+            return ys, cs
+
+        return self._shard(f, sparams, caches, 1)(sparams, x_tok, caches)

@@ -1,0 +1,96 @@
+"""Tensor-parallel serving: TPDecoder vs the single-device SparseDecoder.
+
+8 virtual CPU devices (conftest). The TP runtime must reproduce the
+single-chip runtime exactly — same prefill output, same decoded tokens —
+because the sharding is a pure reparameterization (head/column slices +
+psum of row-sharded partials).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from sputnik_tpu.models.serving import SparseDecoder
+from sputnik_tpu.models.transformer import SparseTransformer
+from sputnik_tpu.parallel import TPDecoder
+
+
+def _causal(b, s):
+    return np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                           (b, s, s)).copy()
+
+
+def _build(b, s, h, heads, kv=None, layers=2, ffn=64):
+    return SparseTransformer.from_masks(
+        _causal(b, s), num_layers=layers, hidden_size=h, num_heads=heads,
+        num_kv_heads=kv, ffn_hidden_size=ffn, use_residual=True,
+        use_layernorm=True, activation="gelu")
+
+
+def _mesh(tp):
+    return Mesh(np.array(jax.devices()[:tp]), ("tp",))
+
+
+@pytest.mark.parametrize("tp,kv", [(2, None), (4, None), (2, 2)])
+def test_tp_decode_matches_single_device(tp, kv):
+    b, P, h, heads = 2, 16, 32, 4
+    model = _build(b, P, h, heads, kv=kv)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, P, h).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    # single-device reference
+    dec = SparseDecoder(model, s_max=24, bk=8, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    y_ref, caches = dec.prefill(params, x, caches)
+    tok = x[:, -1:]
+    ys_ref, _ = dec.decode_loop(params, tok, caches, 4)
+
+    # tensor-parallel
+    tpd = TPDecoder(model, _mesh(tp), s_max=24, bk=8,
+                    cache_dtype=jnp.float32)
+    sparams = tpd.shard_params(params)
+    tcaches = tpd.init_caches(b)
+    y_tp, tcaches = jax.jit(tpd.prefill)(sparams, x, tcaches)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+    ys_tp, _ = jax.jit(
+        lambda p, t, c: tpd.decode_loop(p, t, c, 4))(sparams, tok, tcaches)
+    np.testing.assert_allclose(np.asarray(ys_tp), np.asarray(ys_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tp_decode_step_and_cache_layout():
+    """decode_step works standalone and the cache is genuinely sharded:
+    tp * b * KV_l replicas, each shard's slice holding its own heads."""
+    b, P, h, heads, tp = 2, 16, 32, 4, 2
+    model = _build(b, P, h, heads)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, P, h).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    tpd = TPDecoder(model, _mesh(tp), s_max=24, bk=8,
+                    cache_dtype=jnp.float32)
+    assert tpd.H_l == heads // tp
+    sparams = tpd.shard_params(params)
+    caches = tpd.init_caches(b)
+    assert caches[0].k.shape[0] == tp * b * (heads // tp)
+
+    _, caches = jax.jit(tpd.prefill)(sparams, x, caches)
+    assert caches[0].kv_len.tolist() == [P] * (tp * b * (heads // tp))
+
+    y, caches = jax.jit(tpd.decode_step)(sparams, x[:, -1:], caches)
+    assert y.shape == (b, 1, h)
+    assert np.isfinite(np.asarray(y)).all()
+    assert caches[0].kv_len.tolist() == [P + 1] * caches[0].kv_len.shape[0]
+
+
+def test_tp_rejects_bad_divisibility():
+    model = _build(2, 16, 32, 4)
+    with pytest.raises(ValueError, match="num_heads"):
+        TPDecoder(model, _mesh(3), s_max=24, bk=8)
+    model_gqa = _build(2, 16, 32, 4, kv=2)
+    with pytest.raises(ValueError, match="num_kv_heads"):
+        TPDecoder(model_gqa, _mesh(4), s_max=24, bk=8)

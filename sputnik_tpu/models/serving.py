@@ -32,7 +32,9 @@ import numpy as np
 from ..ops import batched_panel as bp
 from ..ops.decode import (
     KVCache,
+    QPAD,
     append_kv,
+    append_kv_seq,
     decode_attention,
     decode_block_table,
     init_kv_cache,
@@ -277,6 +279,69 @@ class SparseDecoder:
             x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
             new_caches.append(cache)
         return x, tuple(new_caches)
+
+    def decode_multi(self, params, x_toks, caches: Sequence[KVCache],
+                     reduce_fn=None):
+        """Speculative-decode verification step: advance ``q <= 8`` draft
+        tokens at once. ``x_toks [b, q, h]`` -> ``(y [b, q, h], caches)``.
+
+        Teacher-forced on the draft's tokens, this equals ``q``
+        sequential ``decode_step`` calls on the same inputs — but runs
+        ONE fused attention pass per layer (the decode kernel's
+        ``qlen > 1`` mode masks each query row causally against its own
+        cache position) and ONE bulk cache write (``append_kv_seq``). A
+        speculative loop scores the draft, accepts the longest matching
+        prefix, and rolls ``kv_len`` back for rejected tokens (the cache
+        past ``kv_len`` is never read, so rollback is just a smaller
+        length — no data movement).
+
+        With a sliding window, rows earlier than the last draft token
+        may see up to ``q - 1`` extra trailing tokens of window (the
+        block table is sized for the final position); sinks and
+        causality are exact."""
+        m = self.model
+        b, qn, _ = x_toks.shape
+        if qn > QPAD:
+            raise ValueError(f"q {qn} > QPAD {QPAD}")
+        scale = 1.0 / float(np.sqrt(self.hd))
+
+        pos = caches[0].kv_len[0]
+        tbl, valid = decode_block_table(
+            caches[0].kv_len + qn, s_max=self.s_max, bk=self.bk,
+            window_blocks=self.window_blocks,
+            sink_blocks=self.sink_blocks)
+
+        new_caches = []
+        x = x_toks
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+            cache = caches[i]
+
+            def attn(q, k, v):
+                nonlocal cache
+                # k, v: [b, q, kv_heads, hd] -> [R_kv, q, hd]
+                cache = append_kv_seq(cache, self._fold(k),
+                                      self._fold(v), pos)
+                ctx = decode_attention(
+                    self._fold(q), cache, tbl, valid,
+                    bk=self.bk, qlen=qn, group=self.group,
+                    scale=scale)                        # [R, q, hd]
+                ctx = ctx.reshape(b, m.num_heads, qn, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, qn, m.num_heads * self.hd)
+
+            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
+            new_caches.append(cache)
+        return x, tuple(new_caches)
+
+    @staticmethod
+    def rollback(caches: Sequence[KVCache], n: int) -> Tuple[KVCache, ...]:
+        """Reject the last ``n`` speculative tokens: shrink ``kv_len``
+        (positions past ``kv_len`` are never read — no data movement)."""
+        return tuple(
+            KVCache(k=c.k, v=c.v, kv_len=c.kv_len - n,
+                    k_scale=c.k_scale, v_scale=c.v_scale)
+            for c in caches)
 
     def decode_loop(self, params, x_tok, caches: Sequence[KVCache],
                     n_tokens: int, next_input=None, reduce_fn=None):

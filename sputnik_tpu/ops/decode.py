@@ -34,8 +34,9 @@ from ._common import round_up
 from .pallas.decode_attention import QPAD, decode_attention_kernel
 
 __all__ = [
-    "KVCache", "init_kv_cache", "append_kv", "prefill_kv",
-    "decode_block_table", "table_from_topology_row", "decode_attention",
+    "KVCache", "init_kv_cache", "append_kv", "append_kv_seq",
+    "prefill_kv", "decode_block_table", "table_from_topology_row",
+    "decode_attention",
 ]
 
 
@@ -135,6 +136,36 @@ def append_kv(cache: KVCache, k_new, v_new, pos=None) -> KVCache:
         kv_len=cache.kv_len + 1,
         k_scale=jax.vmap(upd_s)(cache.k_scale, ks, cache.kv_len),
         v_scale=jax.vmap(upd_s)(cache.v_scale, vs, cache.kv_len),
+    )
+
+
+def append_kv_seq(cache: KVCache, k_new, v_new, pos) -> KVCache:
+    """Append ``q`` tokens per replica at the shared scalar position
+    ``pos`` (speculative decode: the draft's q tokens land in the cache
+    in ONE aliasable ``dynamic_update_slice``). ``k_new``/``v_new``:
+    ``[R_kv, q, hd]`` (hd <= hd_pad)."""
+    R, s_max, hd_pad = cache.k.shape
+    q = k_new.shape[1]
+    kp = jnp.zeros((R, q, hd_pad), jnp.float32)
+    kp = kp.at[:, :, : k_new.shape[-1]].set(k_new.astype(jnp.float32))
+    vp = jnp.zeros((R, q, hd_pad), jnp.float32)
+    vp = vp.at[:, :, : v_new.shape[-1]].set(v_new.astype(jnp.float32))
+
+    if cache.is_int8:
+        kq, ks = jax.vmap(jax.vmap(_quantize_token))(kp)
+        vq, vs = jax.vmap(jax.vmap(_quantize_token))(vp)
+    else:
+        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
+        ks = vs = jnp.ones((R, q), jnp.float32)
+
+    z = jnp.int32(0)
+    p = jnp.asarray(pos, jnp.int32)
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, kq, (z, p, z)),
+        v=jax.lax.dynamic_update_slice(cache.v, vq, (z, p, z)),
+        kv_len=cache.kv_len + q,
+        k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks, (z, p)),
+        v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs, (z, p)),
     )
 
 

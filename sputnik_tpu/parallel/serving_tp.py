@@ -224,6 +224,18 @@ class TPDecoder:
 
         return self._shard(f, sparams, caches, 1)(sparams, x_tok, caches)
 
+    def decode_multi(self, sparams, x_toks, caches):
+        """Speculative verification step (q draft tokens at once),
+        tensor-parallel. See ``SparseDecoder.decode_multi``."""
+        red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
+
+        def f(sp, t_, cs):
+            y, cs = self._ld.decode_multi(self._local_params(sp), t_, cs,
+                                          reduce_fn=red)
+            return y, cs
+
+        return self._shard(f, sparams, caches, 1)(sparams, x_toks, caches)
+
     def decode_loop(self, sparams, x_tok, caches, n_tokens: int,
                     next_input=None):
         """N tokens inside one jit + one shard_map (a ``lax.scan`` whose

@@ -120,6 +120,44 @@ def test_gqa_decode_matches_full_forward():
         assert err / np.abs(ref).max() < 2e-4, (t, err)
 
 
+def test_decode_multi_matches_sequential_steps():
+    """Speculative verification: decode_multi(q tokens) must equal q
+    teacher-forced decode_step calls, and rollback must undo rejected
+    tokens exactly."""
+    b, P, q, h = 2, 8, 4, 32
+    model = _build(b, P, h=h)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(b, P + q + 1, h).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(0), x[:, :P])
+    dec = SparseDecoder(model, s_max=24, bk=8, cache_dtype=jnp.float32)
+
+    _, caches = dec.prefill(params, x[:, :P], dec.init_caches(b))
+
+    # sequential reference
+    seq_out, c_seq = [], caches
+    for t in range(P, P + q):
+        y, c_seq = dec.decode_step(params, x[:, t:t + 1], c_seq)
+        seq_out.append(np.asarray(y[:, 0]))
+
+    y_multi, c_multi = jax.jit(dec.decode_multi)(
+        params, x[:, P:P + q], caches)
+    np.testing.assert_allclose(np.asarray(y_multi),
+                               np.stack(seq_out, axis=1),
+                               atol=1e-5, rtol=1e-5)
+    assert c_multi[0].kv_len.tolist() == c_seq[0].kv_len.tolist()
+
+    # reject the last 2 draft tokens, then decode the true next token:
+    # must equal decoding it from the sequential cache at the same length
+    c_back = SparseDecoder.rollback(c_multi, 2)
+    y_a, _ = dec.decode_step(params, x[:, P + q:P + q + 1], c_back)
+    c_ref = caches
+    for t in range(P, P + q - 2):
+        _, c_ref = dec.decode_step(params, x[:, t:t + 1], c_ref)
+    y_b, _ = dec.decode_step(params, x[:, P + q:P + q + 1], c_ref)
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_decode_sliding_window():
     """Sinks + sliding-window decode: the block table must cover exactly
     the sink blocks plus the trailing window, and the step must stay

@@ -87,6 +87,27 @@ def test_tp_decode_step_and_cache_layout():
     assert caches[0].kv_len.tolist() == [P + 1] * caches[0].kv_len.shape[0]
 
 
+def test_tp_decode_multi_matches_single_device():
+    """Speculative verification under TP equals the single-device path."""
+    b, P, q, h, heads, tp = 2, 16, 3, 32, 4, 2
+    model = _build(b, P, h, heads)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, P + q, h).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(2), x[:, :P])
+
+    dec = SparseDecoder(model, s_max=24, bk=8, cache_dtype=jnp.float32)
+    _, c_ref = dec.prefill(params, x[:, :P], dec.init_caches(b))
+    y_ref, _ = dec.decode_multi(params, x[:, P:], c_ref)
+
+    tpd = TPDecoder(model, _mesh(tp), s_max=24, bk=8,
+                    cache_dtype=jnp.float32)
+    sparams = tpd.shard_params(params)
+    _, c_tp = jax.jit(tpd.prefill)(sparams, x[:, :P], tpd.init_caches(b))
+    y_tp, _ = jax.jit(tpd.decode_multi)(sparams, x[:, P:], c_tp)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tp_rejects_bad_divisibility():
     model = _build(2, 16, 32, 4)
     with pytest.raises(ValueError, match="num_heads"):

@@ -250,7 +250,15 @@ class TransformerLayer(nn.Module):
 
 
 class SparseTransformer(nn.Module):
-    """N sparse-attention layers (``modules.py:163-183``)."""
+    """N sparse-attention layers (``modules.py:163-183``).
+
+    ``remat=True`` wraps every layer in ``flax.linen.remat``
+    (``jax.checkpoint``): activations are recomputed in the backward
+    pass instead of stored, trading ~one extra forward of FLOPs for
+    O(num_layers) less HBM — the standard TPU recipe for training long
+    sequences, where HBM capacity (not FLOPs) binds first. Parameter
+    structure is unchanged, so checkpoints swap freely between the two
+    modes."""
 
     mask_topology: mm.ManyMaskTopology
     num_layers: int
@@ -262,6 +270,7 @@ class SparseTransformer(nn.Module):
     use_residual: bool = False
     use_layernorm: bool = False
     attention_layout: str = "flash"
+    remat: bool = False
 
     @classmethod
     def from_masks(cls, masks: np.ndarray, **kwargs) -> "SparseTransformer":
@@ -272,8 +281,10 @@ class SparseTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        layer_cls = nn.remat(TransformerLayer) if self.remat \
+            else TransformerLayer
         for i in range(self.num_layers):
-            x = TransformerLayer(
+            x = layer_cls(
                 mask_topology=self.mask_topology,
                 hidden_size=self.hidden_size,
                 num_heads=self.num_heads,

@@ -244,6 +244,21 @@ class TestSparseTransformer:
         np.testing.assert_allclose(np.asarray(y_gqa), np.asarray(y_rep),
                                    atol=1e-6)
 
+    def test_remat_same_outputs_and_grads(self):
+        """Gradient checkpointing must not change the math: identical
+        forward and gradients, identical parameter structure."""
+        model, params, x = self._build(layers=2)
+        model_r = model.clone(remat=True)
+        y = model.apply(params, x)
+        y_r = model_r.apply(params, x)  # same params tree fits both
+        np.testing.assert_allclose(np.asarray(y_r), np.asarray(y),
+                                   atol=1e-6)
+        g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+        g_r = jax.grad(lambda p: jnp.sum(model_r.apply(p, x) ** 2))(params)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_residual_layernorm_variant(self):
         b, s, h = 2, 16, 16
         masks = np.broadcast_to(causal_mask(s), (b, s, s)).copy()

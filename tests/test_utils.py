@@ -63,3 +63,34 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     got = layer.apply(restored, x)
     want = layer.apply(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_orbax_restore_sharded(tmp_path):
+    """Restore a host-saved checkpoint directly into a mesh-sharded
+    layout (the multi-chip resume path): pass `like` leaves carrying
+    NamedShardings and orbax places each shard on its device."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from sputnik_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    rng = np.random.RandomState(3)
+    tree = {"w": rng.randn(16, 32).astype(np.float32),
+            "b": rng.randn(32).astype(np.float32)}
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint(path, tree)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    like = {
+        "w": jax.ShapeDtypeStruct(
+            (16, 32), np.float32,
+            sharding=NamedSharding(mesh, P("dp", None))),
+        "b": jax.ShapeDtypeStruct(
+            (32,), np.float32, sharding=NamedSharding(mesh, P())),
+    }
+    restored = restore_checkpoint(path, like)
+    assert restored["w"].sharding == like["w"].sharding
+    np.testing.assert_allclose(np.asarray(restored["w"]), tree["w"])
+    np.testing.assert_allclose(np.asarray(restored["b"]), tree["b"])

@@ -245,13 +245,114 @@ def _attn_qat_bwd(spec, scale, res, g):
 _attention_qat.defvjp(_attn_qat_fwd, _attn_qat_bwd)
 
 
-def attention_qat(spec, q, k, v, scale=None):
+def _int8_fwd_stats(spec, q, k, v, scale):
+    """Padded int8 flash forward returning (out_padded, stats, shapes)."""
+    from .fused_attention import _flash_meta, _hd_pad, _pad
+    from .pallas import flash_sparse_int8 as fsi
+
+    meta = _flash_meta(spec)
+    R, s, hd = q.shape
+    hd_pad = _hd_pad(max(hd, 1))
+    q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
+    k_p = _pad(spec, k, spec.n_pad, hd_pad)
+    v_p = _pad(spec, v, spec.n_pad, hd_pad)
+    out, m, l = fsi.flash_sparse_attention_fwd_int8(
+        meta["block_cols"], meta["nblocks"], meta["mask_slot"],
+        meta["is_partial"], meta["pmask"],
+        q_p, k_p, v_p,
+        R=R, heads=spec.heads, mb=spec.mb,
+        max_bpr=int(meta["max_bpr"]), bm=int(meta["bm"]),
+        bk=int(meta["bk"]), interpret=_interp())
+    return out, m, l, (q_p, k_p, v_p)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _attention_int8_train(spec, scale, q, k, v):
+    return attention_int8(spec, q, k, v, scale=scale)
+
+
+def _attn_i8t_fwd(spec, scale, q, k, v):
+    if not _use_kernels():
+        # oracle path: fp32 chain both ways (re-run the vjp in backward)
+        from .fused_attention import fused_sparse_attention
+
+        out = fused_sparse_attention(spec, q, k, v, scale=scale)
+        return out, (q, k, v, None, None, None)
+    out_p, m, l, padded = _int8_fwd_stats(spec, q, k, v, scale)
+    s, hd = q.shape[1], q.shape[2]
+    q_p, k_p, v_p = padded
+    return out_p[:, :s, :hd], (q_p, k_p, v_p, out_p, m, l)
+
+
+def _attn_i8t_bwd(spec, scale, res, g):
+    q_p, k_p, v_p, out_p, stats_m, stats_l = res
+    if out_p is None:  # oracle path: q_p/k_p/v_p hold the raw operands
+        from .fused_attention import fused_sparse_attention
+
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: fused_sparse_attention(spec, q_, k_, v_,
+                                                      scale=scale),
+            q_p, k_p, v_p)
+        return vjp(g)
+    from .fused_attention import _flash_bwd_meta, _hd_pad, _pad
+    from .pallas import flash_sparse_int8 as fsi
+
+    R, s, hd = g.shape
+    meta = _flash_bwd_meta(spec)
+    g_p = _pad(spec, g, spec.m_pad, _hd_pad(max(hd, 1)))
+
+    stats = jnp.concatenate(
+        [stats_m[:, :, :1], stats_l[:, :, :1],
+         jnp.zeros((R, spec.m_pad, 126), jnp.float32)], axis=2)
+    d_rows = jnp.sum(g_p * out_p, axis=-1)               # [R, m_pad]
+    dcoef = jnp.broadcast_to(d_rows[:, :, None], (R, spec.m_pad, 128))
+
+    common = dict(R=R, heads=spec.heads, bm=int(meta["bm"]),
+                  bk=int(meta["bk"]), interpret=_interp())
+    dq_p = fsi.flash_sparse_bwd_dq_int8(
+        meta["block_cols"], meta["nblocks"], meta["mask_slot"],
+        meta["is_partial"], meta["pmask"],
+        q_p, k_p, v_p, g_p, stats, dcoef,
+        mb=spec.mb, max_bpr=int(meta["max_bpr"]), **common)
+    dk_p, dv_p = fsi.flash_sparse_bwd_dkv_int8(
+        meta["t_src_i"], meta["t_nblocks"], meta["t_mask_slot"],
+        meta["t_is_partial"], meta["pmask"],
+        q_p, k_p, v_p, g_p, stats, dcoef,
+        kb=spec.kb, max_bpc=int(meta["max_bpc"]), **common)
+    dq = dq_p[:, :s, :hd] * scale
+    dk = dk_p[:, : spec.n, :hd]
+    dv = dv_p[:, : spec.n, :hd]
+    return dq, dk, dv
+
+
+_attention_int8_train.defvjp(_attn_i8t_fwd, _attn_i8t_bwd)
+
+
+def attention_qat(spec, q, k, v, scale=None, backward="fp32"):
     """Quantization-aware-training sparse attention: int8 fused FORWARD
-    (what serving will run) with fp32 fused-flash gradients via the
-    straight-through estimator — train with the quantization noise the
-    deployed model will see, backprop at full precision."""
+    (what serving will run), with a choice of backward:
+
+    * ``backward="fp32"`` (default): fp32 fused-flash gradients via the
+      straight-through estimator — the standard fake-quant recipe (train
+      with the deployed quantization noise, backprop at full precision).
+    * ``backward="int8"``: the full-int8 training path — the backward's
+      four contractions (QK^T recompute, GV^T, dS@K / dS^T@Q, P^T@G)
+      also ride the 2x int8 MXU path, recomputing p from the forward's
+      saved stats with the identical per-tile quantization. ~5e-2
+      gradient error vs fp32 (the W8A8 class). Measured (v5e, causal
+      16x2048 hd=64): 3.19 ms vs fp32's 2.89 — the flash backward is
+      VPU-bound (softmax recompute + dynamic quantization), not
+      MXU-bound, so the int8 MXU rate does NOT pay for the added
+      quantization work; fp32 STE stays the recommended default and
+      this path exists for algebra completeness (and for operands that
+      arrive pre-quantized)."""
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
+    if backward == "int8":
+        return _attention_int8_train(spec, float(scale), q, k, v)
+    if backward != "fp32":
+        raise ValueError(f"backward must be 'fp32' or 'int8', "
+                         f"got {backward!r}")
     return _attention_qat(spec, float(scale), q, k, v)
 
 
@@ -279,7 +380,7 @@ def attention_int8(spec, q, k, v, scale=None):
     v_p = _pad(spec, v, spec.n_pad, hd_pad)
     from .pallas import flash_sparse_int8 as fsi
 
-    out = fsi.flash_sparse_attention_fwd_int8(
+    out, _, _ = fsi.flash_sparse_attention_fwd_int8(
         meta["block_cols"], meta["nblocks"], meta["mask_slot"],
         meta["is_partial"], meta["pmask"],
         q_p, k_p, v_p,

@@ -267,6 +267,62 @@ def test_int8_qat_attention():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_int8_attention_full_int8_backward():
+    """attention_qat(backward="int8"): the full-int8 training path — the
+    backward's contractions run int8 too. Gradients must be within the
+    W8A8 error class of the fp32 fused chain, and fully-masked rows must
+    stay finite."""
+    from sputnik_tpu.ops import batched_panel as bp
+    from sputnik_tpu.ops.fused_attention import fused_sparse_attention
+    from sputnik_tpu.many_mask import ManyMaskTopology
+    from sputnik_tpu import int8 as q8
+
+    B, heads, s, hd = 1, 2, 64, 16
+    R = B * heads
+    rng = np.random.RandomState(17)
+    masks = np.tril(np.ones((B, s, s), np.float32))
+    masks[:, 1, :] = 0.0  # fully-masked row (driver.py:11-14 scenario)
+    mt = ManyMaskTopology.from_dense_masks(masks)
+    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=heads, bm=32, bk=32)
+    q = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+    cot = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+
+    st.set_backend("pallas")
+    try:
+        out = q8.attention_qat(spec, q, k, v, backward="int8")
+        ref_fwd = q8.attention_int8(spec, q, k, v)
+        g = jax.grad(lambda q, k, v: jnp.sum(
+            q8.attention_qat(spec, q, k, v, backward="int8") * cot),
+            argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(lambda q, k, v: jnp.sum(
+            fused_sparse_attention(spec, q, k, v) * cot),
+            argnums=(0, 1, 2))(q, k, v)
+    finally:
+        st.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_fwd),
+                               atol=1e-6)
+    for name, a, b in zip("qkv", g, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        rel = np.abs(a - b).max() / np.abs(b).max()
+        assert rel < 8e-2, (name, rel)
+
+
+def test_int8_attention_bad_backward_arg():
+    from sputnik_tpu.ops import batched_panel as bp
+    from sputnik_tpu.many_mask import ManyMaskTopology
+    from sputnik_tpu import int8 as q8
+
+    masks = np.tril(np.ones((1, 32, 32), np.float32))
+    mt = ManyMaskTopology.from_dense_masks(masks)
+    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=1, bm=32, bk=32)
+    q = jnp.zeros((1, 32, 8), jnp.float32)
+    with pytest.raises(ValueError, match="backward"):
+        q8.attention_qat(spec, q, q, q, backward="int4")
+
+
 def test_int8_qat_spmm_grads():
     """Quantized training (VERDICT r1 follow-up): spmm_qat under jit —
     W8A8 forward, int8 backward (spmm_t_int8 + sddmm_int8 STE) — forward

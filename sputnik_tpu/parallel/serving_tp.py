@@ -48,7 +48,7 @@ def _np(x):
 
 
 class TPDecoder:
-    """Tensor-parallel generation runtime.
+    """Tensor/data-parallel generation runtime.
 
     Usage::
 
@@ -62,10 +62,18 @@ class TPDecoder:
 
     Requires ``num_heads``, ``num_kv_heads`` and ``ffn_hidden_size`` all
     divisible by the axis size.
+
+    ``batch_axis``: a second mesh axis for data-parallel serving — the
+    batch (and its KV caches) shards over it, params replicate, and no
+    collective crosses it (throughput scales with dp devices). Requires
+    every batch element to share the same mask (the shard_map body is
+    one SPMD program, so per-batch-distinct topologies cannot ride a
+    dp split) and the batch divisible by the axis size.
     """
 
     def __init__(self, model: SparseTransformer, mesh: Mesh, *,
-                 axis: str = "tp", s_max: int, bk: int = 256,
+                 axis: str = "tp", batch_axis: Optional[str] = None,
+                 s_max: int, bk: int = 256,
                  window: Optional[int] = None, sinks: int = 0,
                  cache_dtype=jnp.bfloat16):
         tp = mesh.shape[axis]
@@ -80,13 +88,34 @@ class TPDecoder:
                 f"ffn_hidden_size {model.ffn_hidden_size} not divisible "
                 f"by tp {tp}")
         self.mesh, self.axis, self.tp = mesh, axis, tp
+        self.batch_axis = batch_axis
+        self.dp = mesh.shape[batch_axis] if batch_axis else 1
         self.model = model
         self.heads, self.kv = heads, kv
         self.H_l, self.KV_l = heads // tp, kv // tp
         self.hd = model.hidden_size // heads
+
+        mt = model.mask_topology
+        if self.dp > 1:
+            if mt.b % self.dp:
+                raise ValueError(
+                    f"mask batch {mt.b} not divisible by dp {self.dp}")
+            t0 = mt.topologies[0]
+            for t in mt.topologies[1:]:
+                if not (np.array_equal(t.row_offsets, t0.row_offsets) and
+                        np.array_equal(t.column_indices[: t.nnz],
+                                       t0.column_indices[: t0.nnz])):
+                    raise ValueError(
+                        "data-parallel serving requires every batch "
+                        "element to share the same mask")
+            local_mt = type(mt)(mt.topologies[: mt.b // self.dp])
+        else:
+            local_mt = mt
         # per-shard runtime: the same SparseDecoder over a local view of
-        # the model (local heads, full hidden size for residual/LN/MLP)
+        # the model (local heads/batch, full hidden size for
+        # residual/LN/MLP)
         local_model = model.clone(
+            mask_topology=local_mt,
             hidden_size=self.H_l * self.hd,
             num_heads=self.H_l,
             num_kv_heads=None if self.KV_l == self.H_l else self.KV_l,
@@ -176,8 +205,12 @@ class TPDecoder:
     # -- caches --------------------------------------------------------------
 
     def init_caches(self, batch: int) -> Tuple[KVCache, ...]:
-        """Global caches: ``[tp * batch * KV_l]`` replicas, shard-major so
-        ``P(axis)`` on dim 0 gives each device its local ``b*KV_l``."""
+        """Global caches: ``[dp * tp * b_local * KV_l]`` replicas,
+        shard-major so the mesh sharding on dim 0 gives each device its
+        local ``b_local * KV_l``."""
+        if batch % self.dp:
+            raise ValueError(
+                f"batch {batch} not divisible by dp {self.dp}")
         R = self.tp * batch * self.KV_l
         return tuple(
             init_kv_cache(R, self.s_max, self.hd, dtype=self.cache_dtype)
@@ -185,20 +218,26 @@ class TPDecoder:
 
     # -- sharded calls -------------------------------------------------------
 
-    def _specs(self, caches):
-        pspec = jax.tree.map(lambda _: P(self.axis), caches)
-        return pspec
-
     def _local_params(self, sparams):
         return jax.tree.map(lambda a: a[0], sparams)
 
-    def _shard(self, fn, sparams, caches, n_extra_rep):
-        """shard_map wrapper: params + caches sharded on dim 0, the
-        remaining inputs replicated, y replicated out."""
+    def _shard(self, fn, sparams, caches, n_extra_rep, y_batch_dim=0):
+        """shard_map wrapper: params sharded over tp (replicated over
+        dp), caches sharded over (dp, tp) on dim 0, activations sharded
+        over dp (replicated over tp) in and out. ``y_batch_dim``: which
+        output-activation dim carries the batch (``decode_loop`` stacks
+        tokens ahead of it)."""
+        cache_spec = P((self.batch_axis, self.axis)) if self.batch_axis \
+            else P(self.axis)
+        act_spec = P(self.batch_axis) if self.batch_axis else P()
+        if self.batch_axis:
+            y_spec = P(*([None] * y_batch_dim), self.batch_axis)
+        else:
+            y_spec = P()
         in_specs = (jax.tree.map(lambda _: P(self.axis), sparams),) + \
-            tuple(P() for _ in range(n_extra_rep)) + \
-            (jax.tree.map(lambda _: P(self.axis), caches),)
-        out_specs = (P(), jax.tree.map(lambda _: P(self.axis), caches))
+            tuple(act_spec for _ in range(n_extra_rep)) + \
+            (jax.tree.map(lambda _: cache_spec, caches),)
+        out_specs = (y_spec, jax.tree.map(lambda _: cache_spec, caches))
         return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
                              out_specs=out_specs)
 
@@ -248,4 +287,6 @@ class TPDecoder:
                 next_input=next_input, reduce_fn=red)
             return ys, cs
 
-        return self._shard(f, sparams, caches, 1)(sparams, x_tok, caches)
+        # ys stacks tokens on dim 0: batch lives on dim 1
+        return self._shard(f, sparams, caches, 1, y_batch_dim=1)(
+            sparams, x_tok, caches)

@@ -108,6 +108,48 @@ def test_tp_decode_multi_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_dp_tp_grid_matches_single_device():
+    """2x2 dp x tp serving grid: batch and caches shard over dp, heads
+    over tp; outputs must equal the single-device runtime."""
+    b, P, h, heads = 4, 16, 32, 4
+    model = _build(b, P, h, heads)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(b, P, h).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(5), x)
+
+    dec = SparseDecoder(model, s_max=24, bk=8, cache_dtype=jnp.float32)
+    _, c_ref = dec.prefill(params, x, dec.init_caches(b))
+    tok = x[:, -1:]
+    ys_ref, _ = dec.decode_loop(params, tok, c_ref, 3)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    tpd = TPDecoder(model, mesh, batch_axis="dp", s_max=24, bk=8,
+                    cache_dtype=jnp.float32)
+    sparams = tpd.shard_params(params)
+    caches = tpd.init_caches(b)
+    y_tp, caches = jax.jit(tpd.prefill)(sparams, x, caches)
+    y_ref_pre = dec.prefill(params, x, dec.init_caches(b))[0]
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref_pre),
+                               atol=1e-5, rtol=1e-5)
+    ys_tp, _ = jax.jit(
+        lambda p, t, c: tpd.decode_loop(p, t, c, 3))(sparams, tok, caches)
+    np.testing.assert_allclose(np.asarray(ys_tp), np.asarray(ys_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dp_requires_uniform_masks():
+    b, s = 2, 16
+    masks = np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                            (b, s, s)).copy()
+    masks[1, 0, 3] = 1.0  # batch element 1 differs
+    model = SparseTransformer.from_masks(
+        masks, num_layers=1, hidden_size=32, num_heads=2,
+        ffn_hidden_size=32)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    with pytest.raises(ValueError, match="same mask"):
+        TPDecoder(model, mesh, batch_axis="dp", s_max=24, bk=8)
+
+
 def test_tp_rejects_bad_divisibility():
     model = _build(2, 16, 32, 4)
     with pytest.raises(ValueError, match="num_heads"):

@@ -101,6 +101,11 @@ class SparseDecoder:
                 f"num_kv_heads {self.kv_heads} must divide "
                 f"num_heads {model.num_heads}")
         self.group = model.num_heads // self.kv_heads
+        # Build + device-place the prefill spec NOW (outside any trace):
+        # warm_flash_meta is a no-op under a trace, and a first build
+        # inside jax.jit(prefill) would bake the topology metadata into
+        # the compile payload as HLO literals.
+        self._prefill_spec(model.mask_topology.m)
 
     # -- params ------------------------------------------------------------
 
@@ -191,6 +196,35 @@ class SparseDecoder:
 
     # -- prefill -------------------------------------------------------------
 
+    def _prefill_spec(self, T: int) -> "bp.BatchedPanelSpec":
+        """Batched panel spec for the prompt pass, cached on the mask
+        topology (one build per (heads, tiles), shared with the model's
+        own attention cache) and with the measured flash tile defaults —
+        a fresh 128x128 spec per trace would bake its numpy metadata
+        into the jitted prefill as HLO literals (the compile-payload
+        gotcha) and run the fused kernel well below its measured tiles.
+        """
+        from ..ops.fused_attention import warm_flash_meta
+
+        mt = self.model.mask_topology
+        heads = self.model.num_heads
+        if self.model.attention_layout == "panel" or T < 128:
+            bm = bk = 128
+        else:
+            bm = max(128, min(512, 1 << (T - 1).bit_length()))
+            bk = max(128, min(2 * bm, 1 << (T - 1).bit_length()))
+        cached = getattr(mt, "_batched_panel_specs", None)
+        if cached is None:
+            cached = {}
+            object.__setattr__(mt, "_batched_panel_specs", cached)
+        key = (heads, bm, bk)
+        if key not in cached:
+            cached[key] = bp.BatchedPanelSpec.from_many_mask(
+                mt, heads=heads, bm=bm, bk=bk)
+        spec = cached[key]
+        warm_flash_meta(spec)
+        return spec
+
     def prefill(self, params, x, caches: Sequence[KVCache],
                 reduce_fn=None):
         """Run the prompt ``x [b, T, h]`` through the model (fused-flash
@@ -202,8 +236,7 @@ class SparseDecoder:
         if T != mt.m:
             raise ValueError(f"prompt length {T} != mask rows {mt.m}")
         scale = 1.0 / float(np.sqrt(self.hd))
-        core = bp.BatchedPanelSpec.from_many_mask(
-            mt, heads=m.num_heads, bm=128, bk=128)
+        core = self._prefill_spec(T)
 
         new_caches = []
         for i in range(m.num_layers):

@@ -35,7 +35,7 @@ from .pallas import bsr_spmm_int8 as _k8
 
 __all__ = ["QuantizedPanel", "quantize_panel", "quantize_panel_jnp",
            "spmm_int8", "spmm_t_int8", "sddmm_int8", "attention_int8",
-           "quantize_rows_np", "spmm_qat", "attention_qat"]
+           "spmm_qat", "attention_qat"]
 
 
 @jax.tree_util.register_dataclass
@@ -54,20 +54,6 @@ def quantize_panel(spec: PanelSpec, panel) -> QuantizedPanel:
     """fp32 panel -> int8 panel + scales (symmetric per-tile absmax)."""
     q, s = _k8.quantize_panel_np(np.asarray(panel, np.float32))
     return QuantizedPanel(jnp.asarray(q), jnp.asarray(s))
-
-
-def quantize_rows_np(x: np.ndarray, block: int):
-    """Per-row-block symmetric absmax quantization of ``[..., rows, d]``:
-    returns (int8 array, f32 scales ``[..., rows//block]``). Host-side
-    helper for int8 K/V caches."""
-    x = np.asarray(x, np.float32)
-    nb = x.shape[-2] // block
-    xb = x.reshape(*x.shape[:-2], nb, block, x.shape[-1])
-    absmax = np.abs(xb).max(axis=(-1, -2))
-    scales = (absmax / 127.0).astype(np.float32)
-    safe = np.where(scales > 0, scales, 1.0)[..., None, None]
-    q = np.clip(np.rint(xb / safe), -127, 127).astype(np.int8)
-    return q.reshape(x.shape), scales
 
 
 def quantize_panel_jnp(panel) -> QuantizedPanel:

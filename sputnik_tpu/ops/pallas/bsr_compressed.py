@@ -172,33 +172,45 @@ def bsr_sddmm_panel_c(
     interpret: bool = False,
 ):
     """Sampled ``lhs @ rhs^T`` into the COMPRESSED panel
-    ``f32[num_blocks + 1, bm, bk]`` (dump block stays zero: its mask is
-    zero and every padded grid step lands on it)."""
+    ``f32[num_blocks + 1, bm, bk]``.
+
+    Padded grid steps (``s`` beyond row ``i``'s block count) are routed
+    to the DUMP block ``num_blocks`` — never to a later row's real
+    block. A ``min(offs[i]+s, num_blocks)`` clamp would land padded
+    steps on later rows' blocks and zero them at ``t==0``; that is only
+    safe under strictly sequential grid order, which the 'parallel'
+    row dimension does not guarantee (megacore splits / Mosaic
+    reordering). Racy writes to the dump block itself are fine: its
+    mask is zero and the slot is sliced off."""
     d_pad = lhs.shape[1]
     dt = d_pad // bd
 
     def gblk(offs, i, s):
-        return jnp.minimum(offs[i] + s, num_blocks)
+        j = offs[i] + s
+        return jnp.where(j < offs[i + 1], j, num_blocks)
 
-    def kernel(offs_ref, cols_ref, lhs_ref, rhs_ref, mask_ref, out_ref):
+    def kernel(offs_ref, cols_ref, lhs_ref, rhs_ref, mask_ref, out_ref,
+               acc):
         i = pl.program_id(0)
         s = pl.program_id(1)
         t = pl.program_id(2)
 
+        # VMEM-scratch accumulate, single store at the last contraction
+        # slot (the measured ~6% revisited-out_ref penalty)
         @pl.when(t == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc[:] = jnp.zeros_like(acc)
 
         @pl.when(offs_ref[i] + s < offs_ref[i + 1])
         def _():
-            out_ref[0] += jax.lax.dot_general(
+            acc[:] += jax.lax.dot_general(
                 lhs_ref[:], rhs_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         @pl.when(t == dt - 1)
         def _():
-            out_ref[:] *= mask_ref[:]
+            out_ref[0] = acc[:] * mask_ref[0]
 
     return pl.pallas_call(
         kernel,
@@ -217,6 +229,7 @@ def bsr_sddmm_panel_c(
             out_specs=pl.BlockSpec((1, bm, bk),
                                    lambda i, s, t, offs, cols: (
                                        gblk(offs, i, s), 0, 0)),
+            scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((num_blocks + 1, bm, bk),
                                        jnp.float32),

@@ -75,7 +75,8 @@ def bsr_spmm_panel_int8(
                            ).astype(jnp.int8)
             acc_i32 = jax.lax.dot(
                 vq_ref[0, 0], d_q,
-                preferred_element_type=jnp.int32)         # int8 MXU path
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)         # int8 MXU path
             w_scale = sc_ref[i, s]
             out_ref[:] += acc_i32.astype(jnp.float32) * (w_scale * d_scale)
 
@@ -151,7 +152,8 @@ def bsr_spmm_t_panel_int8(
             acc_i32 = jax.lax.dot_general(
                 vq_ref[0, 0], g_q,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             w_scale = sc_ref[ti_ref[j * max_bpc + u],
                              ts_ref[j * max_bpc + u]]
             acc_ref[:] += acc_i32.astype(jnp.float32) * (w_scale * g_scale)
@@ -209,14 +211,18 @@ def bsr_sddmm_panel_int8(
     d_pad = lhs.shape[1]
     dt = d_pad // bd
 
-    def kernel(cols_ref, nblk_ref, lhs_ref, rhs_ref, mask_ref, out_ref):
+    def kernel(cols_ref, nblk_ref, lhs_ref, rhs_ref, mask_ref, out_ref,
+               acc):
         i = pl.program_id(0)
         s = pl.program_id(1)
         t = pl.program_id(2)
 
+        # accumulate into VMEM scratch; store the output block ONCE at
+        # the last contraction slot (the measured ~6% revisited-out_ref
+        # penalty — CLAUDE.md kernel pattern)
         @pl.when(t == 0)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            acc[:] = jnp.zeros_like(acc)
 
         @pl.when(s < nblk_ref[i])
         def _():
@@ -225,13 +231,13 @@ def bsr_sddmm_panel_int8(
             acc_i32 = jax.lax.dot_general(
                 l_q, r_q,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out_ref[0, 0] += acc_i32.astype(jnp.float32) * (
-                l_scale * r_scale)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
+            acc[:] += acc_i32.astype(jnp.float32) * (l_scale * r_scale)
 
         @pl.when(t == dt - 1)
         def _():
-            out_ref[:] *= mask_ref[:]
+            out_ref[0, 0] = acc[:] * mask_ref[0, 0]
 
     return pl.pallas_call(
         kernel,
@@ -248,6 +254,7 @@ def bsr_sddmm_panel_int8(
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, bm, bk), lambda i, s, t, cols, nblk: (i, s, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((mb, max_bpr, bm, bk), jnp.float32),
         compiler_params=pltpu.CompilerParams(

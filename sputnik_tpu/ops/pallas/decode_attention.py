@@ -102,7 +102,8 @@ def decode_attention_kernel(
                 sc_i = jax.lax.dot_general(
                     q_i8, k_ref[0],
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)      # [QPAD, bk]
+                    preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)      # [QPAD, bk]
                 sc = sc_i.astype(jnp.float32) * qs * ks
             else:
                 sc = jax.lax.dot_general(
@@ -136,7 +137,8 @@ def decode_attention_kernel(
                 p_i8 = jnp.clip(jnp.round(pv / ps), 0, 127
                                 ).astype(jnp.int8)
                 ctx_i = jax.lax.dot(p_i8, v_ref[0],
-                                    preferred_element_type=jnp.int32)
+                                    preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
                 acc[:] = acc[:] * corr + ctx_i.astype(jnp.float32) * ps
             else:
                 pv = (p * vs).astype(v_ref.dtype) \

@@ -42,7 +42,8 @@ def _qdot_nt(a, b):
     b_q, b_s = _quant_tile(b)
     r = jax.lax.dot_general(
         a_q, b_q, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
     return r.astype(jnp.float32) * (a_s * b_s)
 
 
@@ -91,7 +92,8 @@ def flash_sparse_attention_fwd_int8(
             sc_i32 = jax.lax.dot_general(
                 q_q, k_q,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             sc = sc_i32.astype(jnp.float32) * (q_s * k_s)   # [bm, bk]
             partial = part_ref[b, i * max_bpr + s] == 1
             sc = jnp.where(
@@ -110,7 +112,8 @@ def flash_sparse_attention_fwd_int8(
             p_q = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
             v_q, v_s = _quant_tile(v_ref[0])
             pv_i32 = jax.lax.dot(
-                p_q, v_q, preferred_element_type=jnp.int32)
+                p_q, v_q, preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             acc[:] = acc[:] * corr + pv_i32.astype(jnp.float32) * (
                 v_s / 127.0)
 
@@ -198,7 +201,8 @@ def flash_sparse_bwd_dq_int8(
             q_q, q_s = _quant_tile(q_ref[0])
             sc = jax.lax.dot_general(
                 q_q, k_q, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (q_s * k_s)
             partial = part_ref[b, i * max_bpr + s] == 1
             sc = jnp.where(
@@ -211,7 +215,8 @@ def flash_sparse_bwd_dq_int8(
             ds = p * (dp - d_ref[0][:, :1])
             ds_q, ds_s = _quant_tile(ds)
             acc[:] += jax.lax.dot(
-                ds_q, k_q, preferred_element_type=jnp.int32
+                ds_q, k_q, preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (ds_s * k_s)
 
         @pl.when(s == max_bpr - 1)
@@ -283,7 +288,8 @@ def flash_sparse_bwd_dkv_int8(
             q_q, q_s = _quant_tile(q_ref[0])
             sc = jax.lax.dot_general(
                 q_q, k_q, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (q_s * k_s)
             partial = part_ref[b, j * max_bpc + u] == 1
             sc = jnp.where(
@@ -296,18 +302,21 @@ def flash_sparse_bwd_dkv_int8(
             v_q, v_s = _quant_tile(v_ref[0])
             dp = jax.lax.dot_general(
                 g_q, v_q, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (g_s * v_s)
             ds = p * (dp - d_ref[0][:, :1])
             ds_q, ds_s = _quant_tile(ds)
             acck[:] += jax.lax.dot_general(
                 ds_q, q_q, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (ds_s * q_s)
             p_q = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
             accv[:] += jax.lax.dot_general(
                 p_q, g_q, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
             ).astype(jnp.float32) * (g_s / 127.0)
 
         @pl.when(u == max_bpc - 1)

@@ -1,5 +1,6 @@
 from .attention import SparseAttention
 from .linear import SparseLinear, sparse_kaiming_values
+from .lm import LMServer, SparseLM, sample_logits
 from .moe import SparseMoE
 from .serving import SparseDecoder
 from .transformer import (
@@ -11,14 +12,17 @@ from .transformer import (
 )
 
 __all__ = [
+    "LMServer",
     "MLP",
     "SparseAttention",
     "SparseCoreAttention",
     "SparseDecoder",
+    "SparseLM",
     "SparseLinear",
     "SparseMoE",
     "SparseSelfAttention",
     "SparseTransformer",
     "TransformerLayer",
+    "sample_logits",
     "sparse_kaiming_values",
 ]

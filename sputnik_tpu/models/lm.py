@@ -1,0 +1,204 @@
+"""Token-level language model + sampling + generation server.
+
+The reference framework stops at the activations level — its transformer
+demo feeds random hidden states (``tests/transformer/driver.py:21-24``)
+and has no vocabulary, sampling, or generation loop. A deployment needs
+the token boundary, so this module closes it:
+
+  * ``SparseLM`` — embedding + ``SparseTransformer`` core + final
+    LayerNorm + (tied or separate) LM head: ``tokens [b, s] ->
+    logits [b, s, vocab]``.
+  * ``sample_logits`` — on-device sampling: temperature, top-k, top-p
+    (nucleus), greedy.  Static-shape, jit-safe.
+  * ``LMServer`` — token-in/token-out generation over the block-KV
+    ``SparseDecoder`` runtime: one jittable ``generate`` (prefill +
+    ``lax.scan`` decode + in-loop sampling).
+
+Everything downstream (GQA caches, int8/bf16 KV, sliding window + sinks,
+tensor-parallel serving) comes from the wrapped ``SparseDecoder``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .serving import SparseDecoder, _layernorm
+from .transformer import SparseTransformer
+
+__all__ = ["SparseLM", "LMServer", "sample_logits"]
+
+
+class SparseLM(nn.Module):
+    """Sparse-attention language model: ``tokens [b, s] -> logits
+    [b, s, vocab]``.
+
+    ``core`` carries the mask topology and all transformer hyperparams;
+    ``tie_embeddings=True`` (default) reuses the embedding matrix as the
+    LM head (``logits = x @ E^T``), the standard memory-saving tie.
+    A final LayerNorm (``ln_f``) precedes the head — the core's blocks
+    are pre-LN, so the last residual stream is unnormalised without it.
+    """
+
+    core: SparseTransformer
+    vocab_size: int
+    tie_embeddings: bool = True
+    final_layernorm: bool = True
+
+    @classmethod
+    def from_masks(cls, masks: np.ndarray, *, vocab_size: int,
+                   tie_embeddings: bool = True, final_layernorm: bool = True,
+                   **core_kwargs) -> "SparseLM":
+        """Build with per-batch dense 0/1 masks ``[b, s, s]``; extra
+        kwargs go to ``SparseTransformer`` (num_layers, hidden_size, ...)."""
+        return cls(core=SparseTransformer.from_masks(masks, **core_kwargs),
+                   vocab_size=vocab_size, tie_embeddings=tie_embeddings,
+                   final_layernorm=final_layernorm)
+
+    @nn.compact
+    def __call__(self, tokens):
+        embed = nn.Embed(num_embeddings=self.vocab_size,
+                         features=self.core.hidden_size, name="embed")
+        x = embed(tokens)
+        x = self.core(x)
+        if self.final_layernorm:
+            x = nn.LayerNorm(epsilon=1e-6, name="ln_f")(x)
+        if self.tie_embeddings:
+            return embed.attend(x)
+        return nn.Dense(self.vocab_size, use_bias=False, name="lm_head")(x)
+
+
+def sample_logits(key, logits, *, temperature: float = 1.0,
+                  top_k: Optional[int] = None,
+                  top_p: Optional[float] = None):
+    """Sample token ids from ``logits [..., vocab]``.
+
+    ``temperature == 0`` is greedy (argmax; ``key`` unused). ``top_k``
+    keeps the k largest logits; ``top_p`` keeps the smallest prefix of
+    the sorted distribution with cumulative probability >= ``top_p``
+    (nucleus sampling). Both filters compose (k first, then p). All
+    branches are static Python — the traced graph contains only the
+    selected filter, so this is jit-safe with static sampling params.
+    """
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    neg_inf = jnp.asarray(-1e30, logits.dtype)
+    if top_k is not None and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, neg_inf, logits)
+    if top_p is not None and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep a token if the mass BEFORE it is < top_p (the first token
+        # is always kept); threshold = smallest kept sorted logit
+        keep = (cum - probs) < top_p
+        thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits < thresh, neg_inf, logits)
+    return jax.random.categorical(key, logits / temperature, axis=-1)
+
+
+class LMServer:
+    """Token-level generation runtime over a ``SparseLM``.
+
+    Wraps a ``SparseDecoder`` bound to the LM's transformer core; the
+    embedding / final-LN / head params are applied by hand around the
+    decoder's activation-level steps so the whole generate loop jits as
+    one program. All ``SparseDecoder`` serving options pass through
+    (``window``/``sinks``, ``cache_dtype`` incl. int8 KV, GQA via the
+    core's ``num_kv_heads``).
+
+    ``prompt`` length must equal the core mask's row count (the prefill
+    attention runs the model's own sparse topology, exactly like
+    training); decode attends full-causal or sinks+window over the
+    block-KV cache.
+    """
+
+    def __init__(self, lm: SparseLM, *, s_max: int, bk: int = 256,
+                 window: Optional[int] = None, sinks: int = 0,
+                 cache_dtype=jnp.bfloat16):
+        self.lm = lm
+        self.decoder = SparseDecoder(
+            lm.core, s_max=s_max, bk=bk, window=window, sinks=sinks,
+            cache_dtype=cache_dtype)
+
+    # -- params plumbing ---------------------------------------------------
+
+    @staticmethod
+    def _split(params):
+        p = params.get("params", params)
+        return p, {"params": p["core"]}
+
+    def _head(self, p, x):
+        """final LayerNorm + LM head on activations ``x [b, s, h]``."""
+        if self.lm.final_layernorm:
+            x = _layernorm(p["ln_f"], x)
+        if self.lm.tie_embeddings:
+            emb = p["embed"]["embedding"]
+            return x @ emb.T.astype(x.dtype)
+        return x @ p["lm_head"]["kernel"]
+
+    def _embed(self, p, tokens):
+        return jnp.take(p["embed"]["embedding"], tokens, axis=0)
+
+    # -- generation ----------------------------------------------------------
+
+    def init_caches(self, batch: int):
+        return self.decoder.init_caches(batch)
+
+    def prefill(self, params, tokens, caches, reduce_fn=None):
+        """Prompt pass: ``tokens [b, P] -> (logits [b, P, vocab], caches)``."""
+        p, core_params = self._split(params)
+        y, caches = self.decoder.prefill(core_params, self._embed(p, tokens),
+                                         caches, reduce_fn=reduce_fn)
+        return self._head(p, y), caches
+
+    def decode_step(self, params, tok, caches, reduce_fn=None):
+        """One token: ``tok [b] -> (logits [b, vocab], caches)``."""
+        p, core_params = self._split(params)
+        x = self._embed(p, tok)[:, None, :]
+        y, caches = self.decoder.decode_step(core_params, x, caches,
+                                             reduce_fn=reduce_fn)
+        return self._head(p, y)[:, 0], caches
+
+    def generate(self, params, tokens, n_new: int, key=None, *,
+                 temperature: float = 0.0, top_k: Optional[int] = None,
+                 top_p: Optional[float] = None, reduce_fn=None):
+        """Generate ``n_new`` tokens after prompt ``tokens [b, P]``.
+
+        Returns ``(new_tokens [b, n_new], caches)``. Jits as one program
+        (prefill + a ``lax.scan`` of embed -> decode -> head -> sample);
+        sampling params are static. ``key`` is required unless greedy.
+        """
+        if temperature != 0.0 and key is None:
+            raise ValueError("sampling (temperature != 0) needs a PRNG key")
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        def pick(k, logits):
+            return sample_logits(k, logits, temperature=temperature,
+                                 top_k=top_k, top_p=top_p)
+
+        logits, caches = self.prefill(params, tokens, caches=self.init_caches(
+            tokens.shape[0]), reduce_fn=reduce_fn)
+        key, sub = jax.random.split(key)
+        tok = pick(sub, logits[:, -1])
+
+        def body(carry, _):
+            tok, caches, key = carry
+            logits, caches = self.decode_step(params, tok, caches,
+                                              reduce_fn=reduce_fn)
+            key, sub = jax.random.split(key)
+            nxt = pick(sub, logits)
+            return (nxt, caches, key), tok
+
+        (last, caches, _), toks = jax.lax.scan(
+            body, (tok, tuple(caches), key), None, length=n_new - 1)
+        # toks [n_new-1, b] (empty when n_new == 1) + the final carry
+        new_tokens = jnp.concatenate(
+            [jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)
+        return new_tokens, caches

@@ -1,0 +1,152 @@
+"""Token-level LM: SparseLM forward, sampling, LMServer generation.
+
+The generation oracle is the same prefix trick the serving tests use:
+SparseTransformer/SparseLM params are mask-size independent, so a model
+built over a longer causal mask can replay the full forward on each
+token prefix and its argmax must reproduce the served greedy decode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sputnik_tpu.models import LMServer, SparseLM, sample_logits
+
+V = 97  # deliberately non-round vocab
+
+
+def _causal(b, s):
+    return np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                           (b, s, s)).copy()
+
+
+def _build(b, s, h=32, heads=2, layers=2, ffn=48, **kw):
+    return SparseLM.from_masks(
+        _causal(b, s), vocab_size=V, num_layers=layers, hidden_size=h,
+        num_heads=heads, ffn_hidden_size=ffn, use_residual=True,
+        use_layernorm=True, activation="gelu", **kw)
+
+
+def test_lm_forward_tied_head():
+    b, s = 2, 8
+    lm = _build(b, s)
+    toks = jnp.asarray(np.random.RandomState(0).randint(0, V, (b, s)))
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    logits = lm.apply(params, toks)
+    assert logits.shape == (b, s, V)
+    # tied head: last-layer activations times E^T, after ln_f
+    emb = params["params"]["embed"]["embedding"]
+    core_out = lm.core.apply({"params": params["params"]["core"]},
+                             jnp.take(emb, toks, axis=0))
+    mu = jnp.mean(core_out, -1, keepdims=True)
+    var = jnp.var(core_out, -1, keepdims=True)
+    ln = (core_out - mu) / jnp.sqrt(var + 1e-6) \
+        * params["params"]["ln_f"]["scale"] + params["params"]["ln_f"]["bias"]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ln @ emb.T),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_lm_untied_head_shape():
+    b, s = 2, 8
+    lm = _build(b, s, tie_embeddings=False)
+    toks = jnp.zeros((b, s), jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    assert "lm_head" in params["params"]
+    assert lm.apply(params, toks).shape == (b, s, V)
+
+
+def test_sample_logits_modes():
+    rng = np.random.RandomState(1)
+    logits = jnp.asarray(rng.randn(4, V).astype(np.float32) * 3)
+    best = jnp.argmax(logits, -1)
+    key = jax.random.PRNGKey(0)
+    # greedy
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(key, logits, temperature=0.0)),
+        np.asarray(best))
+    # top_k=1 and tiny top_p both collapse to argmax for any key
+    for k2 in jax.random.split(key, 4):
+        np.testing.assert_array_equal(
+            np.asarray(sample_logits(k2, logits, temperature=1.0, top_k=1)),
+            np.asarray(best))
+        np.testing.assert_array_equal(
+            np.asarray(sample_logits(k2, logits, temperature=1.0,
+                                     top_p=1e-9)),
+            np.asarray(best))
+    # top_k=5: every sample lands in the top-5 set
+    top5 = np.asarray(jax.lax.top_k(logits, 5)[1])
+    draws = jax.vmap(lambda k: sample_logits(k, logits, temperature=1.0,
+                                             top_k=5))(
+        jax.random.split(key, 64))
+    for row in range(4):
+        assert set(np.asarray(draws)[:, row]) <= set(top5[row])
+    # top_p: samples restricted to the nucleus (here p=0.5)
+    probs = np.asarray(jax.nn.softmax(logits, -1))
+    draws_p = jax.vmap(lambda k: sample_logits(k, logits, temperature=1.0,
+                                               top_p=0.5))(
+        jax.random.split(key, 64))
+    for row in range(4):
+        order = np.argsort(-probs[row])
+        cum = np.cumsum(probs[row][order])
+        nucleus = set(order[: int(np.searchsorted(cum, 0.5) + 1)])
+        assert set(np.asarray(draws_p)[:, row]) <= nucleus
+
+
+def test_generate_greedy_matches_full_forward():
+    b, P, n_new = 2, 8, 4
+    rng = np.random.RandomState(2)
+    prompt = jnp.asarray(rng.randint(0, V, (b, P)))
+    lm = _build(b, P)
+    params = lm.init(jax.random.PRNGKey(0), prompt)
+
+    server = LMServer(lm, s_max=P + n_new, bk=8, cache_dtype=jnp.float32)
+    toks, _ = server.generate(params, prompt, n_new, temperature=0.0)
+    assert toks.shape == (b, n_new)
+
+    # oracle: full forward over each growing prefix, greedy next token
+    seq = np.asarray(prompt)
+    for t in range(n_new):
+        lm_t = _build(b, P + t)
+        logits = lm_t.apply(params, jnp.asarray(seq))
+        nxt = np.asarray(jnp.argmax(logits[:, -1], -1))
+        np.testing.assert_array_equal(np.asarray(toks[:, t]), nxt)
+        seq = np.concatenate([seq, nxt[:, None]], axis=1)
+
+
+def test_generate_sampled_jit_deterministic_per_key():
+    b, P, n_new = 2, 8, 3
+    rng = np.random.RandomState(3)
+    prompt = jnp.asarray(rng.randint(0, V, (b, P)))
+    lm = _build(b, P)
+    params = lm.init(jax.random.PRNGKey(0), prompt)
+    server = LMServer(lm, s_max=P + n_new, bk=8, cache_dtype=jnp.float32)
+
+    gen = jax.jit(lambda p, t, k: server.generate(
+        p, t, n_new, k, temperature=0.8, top_k=5)[0])
+    a = np.asarray(gen(params, prompt, jax.random.PRNGKey(7)))
+    b_ = np.asarray(gen(params, prompt, jax.random.PRNGKey(7)))
+    c = np.asarray(gen(params, prompt, jax.random.PRNGKey(8)))
+    np.testing.assert_array_equal(a, b_)
+    assert a.shape == (b, n_new)
+    assert ((a >= 0) & (a < V)).all()
+    assert (a != c).any()  # different key, different draw (overwhelmingly)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(cache_dtype=jnp.int8),
+    dict(window=6, sinks=1),
+])
+def test_generate_serving_options_smoke(kw):
+    b, P, n_new = 2, 8, 3
+    rng = np.random.RandomState(4)
+    prompt = jnp.asarray(rng.randint(0, V, (b, P)))
+    lm = _build(b, P, num_kv_heads=1)  # GQA: 2 heads share 1 KV head
+    params = lm.init(jax.random.PRNGKey(0), prompt)
+    server = LMServer(lm, s_max=P + n_new, bk=8, **kw)
+    toks, caches = server.generate(params, prompt, n_new, temperature=0.0)
+    assert toks.shape == (b, n_new)
+    assert ((np.asarray(toks) >= 0) & (np.asarray(toks) < V)).all()
+    # the final sampled token is returned but never decoded, so the
+    # cache holds the prompt plus n_new - 1 generated tokens
+    assert int(caches[0].kv_len[0]) == P + n_new - 1

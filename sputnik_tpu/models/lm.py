@@ -80,12 +80,15 @@ def sample_logits(key, logits, *, temperature: float = 1.0,
     ``temperature == 0`` is greedy (argmax; ``key`` unused). ``top_k``
     keeps the k largest logits; ``top_p`` keeps the smallest prefix of
     the sorted distribution with cumulative probability >= ``top_p``
-    (nucleus sampling). Both filters compose (k first, then p). All
-    branches are static Python — the traced graph contains only the
-    selected filter, so this is jit-safe with static sampling params.
+    (nucleus sampling). Standard serving order (HF/vLLM): temperature
+    scales FIRST, then top-k, then top-p — so the nucleus mass test
+    runs on the distribution actually sampled. All branches are static
+    Python — the traced graph contains only the selected filter, so
+    this is jit-safe with static sampling params.
     """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
     neg_inf = jnp.asarray(-1e30, logits.dtype)
     if top_k is not None and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
@@ -100,7 +103,7 @@ def sample_logits(key, logits, *, temperature: float = 1.0,
         thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
                          axis=-1, keepdims=True)
         logits = jnp.where(logits < thresh, neg_inf, logits)
-    return jax.random.categorical(key, logits / temperature, axis=-1)
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 class LMServer:
@@ -175,6 +178,8 @@ class LMServer:
         (prefill + a ``lax.scan`` of embed -> decode -> head -> sample);
         sampling params are static. ``key`` is required unless greedy.
         """
+        if n_new < 1:
+            raise ValueError(f"n_new must be >= 1, got {n_new}")
         if temperature != 0.0 and key is None:
             raise ValueError("sampling (temperature != 0) needs a PRNG key")
         key = key if key is not None else jax.random.PRNGKey(0)
@@ -183,10 +188,15 @@ class LMServer:
             return sample_logits(k, logits, temperature=temperature,
                                  top_k=top_k, top_p=top_p)
 
-        logits, caches = self.prefill(params, tokens, caches=self.init_caches(
-            tokens.shape[0]), reduce_fn=reduce_fn)
+        # prefill at the activation level and head ONLY the last position
+        # (self.prefill scores all P positions — a [b, P, vocab] logits
+        # tensor nobody reads here, ~GBs at long prompts / big vocabs)
+        p, core_params = self._split(params)
+        y, caches = self.decoder.prefill(
+            core_params, self._embed(p, tokens),
+            self.init_caches(tokens.shape[0]), reduce_fn=reduce_fn)
         key, sub = jax.random.split(key)
-        tok = pick(sub, logits[:, -1])
+        tok = pick(sub, self._head(p, y[:, -1:])[:, 0])
 
         def body(carry, _):
             tok, caches, key = carry

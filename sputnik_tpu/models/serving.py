@@ -197,32 +197,23 @@ class SparseDecoder:
     # -- prefill -------------------------------------------------------------
 
     def _prefill_spec(self, T: int) -> "bp.BatchedPanelSpec":
-        """Batched panel spec for the prompt pass, cached on the mask
-        topology (one build per (heads, tiles), shared with the model's
-        own attention cache) and with the measured flash tile defaults —
-        a fresh 128x128 spec per trace would bake its numpy metadata
-        into the jitted prefill as HLO literals (the compile-payload
-        gotcha) and run the fused kernel well below its measured tiles.
-        """
+        """Batched panel spec for the prompt pass — the model's own
+        ``cached_batched_spec`` cache and ``flash_tiles`` defaults (one
+        source of truth with the training attention), warmed
+        forward-only (prefill never differentiates). A fresh 128x128
+        spec per trace would bake its numpy metadata into the jitted
+        prefill as HLO literals (the compile-payload gotcha) and run
+        the fused kernel well below its measured tiles."""
         from ..ops.fused_attention import warm_flash_meta
+        from .transformer import cached_batched_spec, flash_tiles
 
-        mt = self.model.mask_topology
-        heads = self.model.num_heads
         if self.model.attention_layout == "panel" or T < 128:
             bm = bk = 128
         else:
-            bm = max(128, min(512, 1 << (T - 1).bit_length()))
-            bk = max(128, min(2 * bm, 1 << (T - 1).bit_length()))
-        cached = getattr(mt, "_batched_panel_specs", None)
-        if cached is None:
-            cached = {}
-            object.__setattr__(mt, "_batched_panel_specs", cached)
-        key = (heads, bm, bk)
-        if key not in cached:
-            cached[key] = bp.BatchedPanelSpec.from_many_mask(
-                mt, heads=heads, bm=bm, bk=bk)
-        spec = cached[key]
-        warm_flash_meta(spec)
+            bm, bk = flash_tiles(T)
+        spec = cached_batched_spec(self.model.mask_topology,
+                                   self.model.num_heads, bm, bk)
+        warm_flash_meta(spec, backward=False)
         return spec
 
     def prefill(self, params, x, caches: Sequence[KVCache],

@@ -53,6 +53,34 @@ def split_tensor_along_last_dim(tensor, num_partitions: int):
     return jnp.split(tensor, num_partitions, axis=-1)
 
 
+def flash_tiles(s: int, flash_block: int = 512, flash_block_k: int = 0):
+    """Measured fused-flash tile defaults for sequence length ``s``:
+    ``bm`` capped at ``flash_block`` (512 measured best), ``bk`` twice as
+    wide (the ~25% wider-key-tile win), both floored at the 128-lane
+    minimum and never exceeding the padded sequence. Single source of
+    truth for training (``SparseCoreAttention``) and serving
+    (``SparseDecoder._prefill_spec``)."""
+    bm = max(128, min(flash_block, 1 << (s - 1).bit_length()))
+    bk = flash_block_k or min(2 * bm, 1 << (s - 1).bit_length())
+    return bm, max(128, bk)
+
+
+def cached_batched_spec(mt: mm.ManyMaskTopology, heads: int, bm: int,
+                        bk: int) -> bp.BatchedPanelSpec:
+    """The ``(heads, bm, bk)``-keyed ``BatchedPanelSpec`` cache attached
+    to a topology — one spec build per tiling, shared by every module
+    (training attention, serving prefill) bound to the same masks."""
+    cached = getattr(mt, "_batched_panel_specs", None)
+    if cached is None:
+        cached = {}
+        object.__setattr__(mt, "_batched_panel_specs", cached)
+    key = (heads, bm, bk)
+    if key not in cached:
+        cached[key] = bp.BatchedPanelSpec.from_many_mask(
+            mt, heads=heads, bm=bm, bk=bk)
+    return cached[key]
+
+
 class SparseCoreAttention(nn.Module):
     """SDDMM -> ragged CSR softmax -> SpMM with per-batch masks.
 
@@ -72,16 +100,8 @@ class SparseCoreAttention(nn.Module):
     flash_block_k: int = 0      # 0 -> auto (2x flash_block; measured win)
 
     def _panel_spec(self, bm=128, bk=128):
-        mt = self.mask_topology
-        cached = getattr(mt, "_batched_panel_specs", None)
-        if cached is None:
-            cached = {}
-            object.__setattr__(mt, "_batched_panel_specs", cached)
-        key = (self.num_heads, bm, bk)
-        if key not in cached:
-            cached[key] = bp.BatchedPanelSpec.from_many_mask(
-                mt, heads=self.num_heads, bm=bm, bk=bk)
-        return cached[key]
+        return cached_batched_spec(self.mask_topology, self.num_heads,
+                                   bm, bk)
 
     def __call__(self, q, k, v):
         """q: ``[b, s, heads, head_dim]``; k, v: same, or with fewer
@@ -116,10 +136,8 @@ class SparseCoreAttention(nn.Module):
             from ..ops.fused_attention import (fused_sparse_attention,
                                                warm_flash_meta)
 
-            blk = max(128, min(self.flash_block, 1 << (s - 1).bit_length()))
-            blk_k = self.flash_block_k or min(
-                2 * blk, 1 << (s - 1).bit_length())
-            blk_k = max(128, blk_k)
+            blk, blk_k = flash_tiles(s, self.flash_block,
+                                     self.flash_block_k)
             spec = self._panel_spec(bm=blk, bk=blk_k)
             # device-place the flash metadata on the first eager call so
             # traced steps don't bake it into their compile payload

@@ -83,17 +83,22 @@ def _flash_bwd_meta(spec: bp.BatchedPanelSpec):
     return dev
 
 
-def warm_flash_meta(spec: bp.BatchedPanelSpec) -> None:
+def warm_flash_meta(spec: bp.BatchedPanelSpec, *,
+                    backward: bool = True) -> None:
     """Eagerly build + device-place the flash metadata for ``spec``.
 
     Call once at model-construction time (outside ``jit``) so the first
     traced step does not bake the metadata into its compile payload.
-    No-op under a trace.
+    No-op under a trace. ``backward=False`` skips the backward-pass
+    metadata (inference-only paths — serving prefill never
+    differentiates, and the backward tables cost their own host build +
+    permanent device residency).
     """
     if not _trace_clean():
         return
     _flash_meta(spec)
-    _flash_bwd_meta(spec)
+    if backward:
+        _flash_bwd_meta(spec)
 
 
 def _unfused(spec, q, k, v, scale):

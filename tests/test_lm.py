@@ -91,6 +91,25 @@ def test_sample_logits_modes():
         cum = np.cumsum(probs[row][order])
         nucleus = set(order[: int(np.searchsorted(cum, 0.5) + 1)])
         assert set(np.asarray(draws_p)[:, row]) <= nucleus
+    # HF/vLLM order: temperature scales BEFORE the nucleus test, so at
+    # high temperature the p=0.5 nucleus is computed on the flattened
+    # distribution (wider than the temperature-1 nucleus)
+    probs_t = np.asarray(jax.nn.softmax(logits / 4.0, -1))
+    draws_t = jax.vmap(lambda k: sample_logits(k, logits, temperature=4.0,
+                                               top_p=0.5))(
+        jax.random.split(jax.random.PRNGKey(5), 256))
+    for row in range(4):
+        order = np.argsort(-probs_t[row])
+        cum = np.cumsum(probs_t[row][order])
+        nucleus_t = set(order[: int(np.searchsorted(cum, 0.5) + 1)])
+        seen = set(np.asarray(draws_t)[:, row])
+        assert seen <= nucleus_t
+        # the flattened nucleus is strictly wider here; check we actually
+        # draw outside the temperature-1 nucleus at least once
+        nucleus_1 = set(np.argsort(-probs[row])[: int(np.searchsorted(
+            np.cumsum(probs[row][np.argsort(-probs[row])]), 0.5) + 1)])
+        assert len(nucleus_t) > len(nucleus_1)
+        assert seen - nucleus_1, "temperature should widen the nucleus"
 
 
 def test_generate_greedy_matches_full_forward():

@@ -171,12 +171,21 @@ class LMServer:
 
     def generate(self, params, tokens, n_new: int, key=None, *,
                  temperature: float = 0.0, top_k: Optional[int] = None,
-                 top_p: Optional[float] = None, reduce_fn=None):
+                 top_p: Optional[float] = None,
+                 eos_id: Optional[int] = None, pad_id: int = 0,
+                 reduce_fn=None):
         """Generate ``n_new`` tokens after prompt ``tokens [b, P]``.
 
         Returns ``(new_tokens [b, n_new], caches)``. Jits as one program
         (prefill + a ``lax.scan`` of embed -> decode -> head -> sample);
         sampling params are static. ``key`` is required unless greedy.
+
+        ``eos_id``: sequences that emit it are finished — every later
+        position holds ``pad_id`` (the standard uniform-batch behaviour:
+        the loop still runs to ``n_new`` at full batch width; a
+        multi-tenant deployment that wants to REUSE finished slots runs
+        the ragged path, ``SparseDecoder.decode_step_ragged`` +
+        ``ops.decode.insert_kv_slot``, instead).
         """
         if n_new < 1:
             raise ValueError(f"n_new must be >= 1, got {n_new}")
@@ -184,9 +193,13 @@ class LMServer:
             raise ValueError("sampling (temperature != 0) needs a PRNG key")
         key = key if key is not None else jax.random.PRNGKey(0)
 
-        def pick(k, logits):
-            return sample_logits(k, logits, temperature=temperature,
-                                 top_k=top_k, top_p=top_p)
+        def pick(k, logits, done):
+            tok = sample_logits(k, logits, temperature=temperature,
+                                top_k=top_k, top_p=top_p)
+            if eos_id is None:
+                return tok, done
+            tok = jnp.where(done, pad_id, tok)
+            return tok, done | (tok == eos_id)
 
         # prefill at the activation level and head ONLY the last position
         # (self.prefill scores all P positions — a [b, P, vocab] logits
@@ -196,18 +209,19 @@ class LMServer:
             core_params, self._embed(p, tokens),
             self.init_caches(tokens.shape[0]), reduce_fn=reduce_fn)
         key, sub = jax.random.split(key)
-        tok = pick(sub, self._head(p, y[:, -1:])[:, 0])
+        done0 = jnp.zeros((tokens.shape[0],), bool)
+        tok, done = pick(sub, self._head(p, y[:, -1:])[:, 0], done0)
 
         def body(carry, _):
-            tok, caches, key = carry
+            tok, done, caches, key = carry
             logits, caches = self.decode_step(params, tok, caches,
                                               reduce_fn=reduce_fn)
             key, sub = jax.random.split(key)
-            nxt = pick(sub, logits)
-            return (nxt, caches, key), tok
+            nxt, done = pick(sub, logits, done)
+            return (nxt, done, caches, key), tok
 
-        (last, caches, _), toks = jax.lax.scan(
-            body, (tok, tuple(caches), key), None, length=n_new - 1)
+        (last, _, caches, _), toks = jax.lax.scan(
+            body, (tok, done, tuple(caches), key), None, length=n_new - 1)
         # toks [n_new-1, b] (empty when n_new == 1) + the final carry
         new_tokens = jnp.concatenate(
             [jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)

@@ -256,6 +256,38 @@ class SparseDecoder:
 
     # -- decode --------------------------------------------------------------
 
+    def _decode_layers(self, params, x, caches, append_fn, tbl, valid,
+                       qlen, reduce_fn):
+        """The shared decode layer loop: per layer, append this step's
+        K/V to the layer cache (``append_fn(cache, k3, v3) -> cache``,
+        where ``k3``/``v3`` are folded ``[R_kv, qlen, hd]``) and attend
+        over the step-shared block table. The three public steps
+        (uniform / ragged / speculative) differ only in ``append_fn``
+        and ``qlen``."""
+        m = self.model
+        b = x.shape[0]
+        scale = 1.0 / float(np.sqrt(self.hd))
+
+        new_caches = []
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+            cache = caches[i]
+
+            def attn(q, k, v):
+                nonlocal cache
+                cache = append_fn(cache, self._fold(k), self._fold(v))
+                ctx = decode_attention(
+                    self._fold(q), cache, tbl, valid,
+                    bk=self.bk, qlen=qlen, group=self.group,
+                    scale=scale)                        # [R, qlen, hd]
+                ctx = ctx.reshape(b, m.num_heads, qlen, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, qlen, m.num_heads * self.hd)
+
+            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
+            new_caches.append(cache)
+        return x, tuple(new_caches)
+
     def decode_step(self, params, x_tok, caches: Sequence[KVCache],
                     reduce_fn=None):
         """Advance one token: ``x_tok [b, 1, h]`` -> ``(y [b, 1, h],
@@ -269,10 +301,6 @@ class SparseDecoder:
         step combined — see ``append_kv``), and the block table is
         computed once per step, not per layer (``kv_len`` is identical
         across layers)."""
-        m = self.model
-        b = x_tok.shape[0]
-        scale = 1.0 / float(np.sqrt(self.hd))
-
         # Shared across layers: scalar write position and the post-append
         # block table (every layer's cache has the same lengths).
         pos = caches[0].kv_len[0]
@@ -281,28 +309,60 @@ class SparseDecoder:
             window_blocks=self.window_blocks,
             sink_blocks=self.sink_blocks)
 
-        new_caches = []
-        x = x_tok
-        for i in range(m.num_layers):
-            lp = self._layer_params(params, i)
-            cache = caches[i]
+        def append(cache, k3, v3):
+            return append_kv(cache, k3[:, 0], v3[:, 0], pos=pos)
 
-            def attn(q, k, v):
-                nonlocal cache
-                # k, v: [b, 1, kv_heads, hd] -> [R_kv, hd]
-                cache = append_kv(cache, self._fold(k)[:, 0],
-                                  self._fold(v)[:, 0], pos=pos)
-                ctx = decode_attention(
-                    self._fold(q), cache, tbl, valid,
-                    bk=self.bk, qlen=1, group=self.group,
-                    scale=scale)                        # [R, 1, hd]
-                ctx = ctx.reshape(b, m.num_heads, 1, self.hd)
-                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
-                    b, 1, m.num_heads * self.hd)
+        return self._decode_layers(params, x_tok, caches, append,
+                                   tbl, valid, 1, reduce_fn)
 
-            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
-            new_caches.append(cache)
-        return x, tuple(new_caches)
+    def decode_step_ragged(self, params, x_tok, caches: Sequence[KVCache],
+                           active=None, reduce_fn=None):
+        """One token per sequence with PER-SEQUENCE cache lengths — the
+        continuous-batching step. ``x_tok [b, 1, h]`` -> ``(y [b, 1, h],
+        caches)``.
+
+        Unlike ``decode_step`` (uniform lengths, one scalar write
+        position), each slot appends at its own ``kv_len`` and attends
+        its own block table, so sequences admitted at different times
+        (``ops.decode.insert_kv_slot``) batch together. ``active``
+        (bool ``[b]``, optional) freezes finished slots: their token is
+        still computed (static shapes) and written at ``kv_len`` — but
+        ``kv_len`` does not advance, so the next real append overwrites
+        it and the frozen slot's cache is untouched by construction.
+
+        Cost note: the per-replica append lowers to a TPU scatter
+        (~3.6 ms/token of pure cache copy on the 6-layer benchmark
+        model vs ~0 for ``decode_step``'s aliasable scalar-position
+        update — see ``append_kv``). Use this step only while the batch
+        is genuinely ragged; a fully-synchronised batch should run
+        ``decode_step``.
+
+        Capacity: no slot (active OR frozen) may sit at ``kv_len ==
+        s_max`` when this runs — the shape-uniform write clamps to the
+        last position and would overwrite that slot's final real token.
+        Admit/evict slots at capacity first."""
+        act_r = None
+        if active is not None:
+            act_r = jnp.repeat(jnp.asarray(active).astype(jnp.int32),
+                               self.kv_heads)
+        kv_len1 = caches[0].kv_len + (act_r if act_r is not None else 1)
+        tbl, valid = decode_block_table(
+            kv_len1, s_max=self.s_max, bk=self.bk,
+            window_blocks=self.window_blocks,
+            sink_blocks=self.sink_blocks)
+
+        def append(cache, k3, v3):
+            cache = append_kv(cache, k3[:, 0], v3[:, 0])  # per-replica pos
+            if act_r is None:
+                return cache
+            # frozen slots: appended above for shape uniformity, but the
+            # length must not advance (the write at the old kv_len gets
+            # overwritten on resume/admission)
+            return KVCache(k=cache.k, v=cache.v, kv_len=kv_len1,
+                           k_scale=cache.k_scale, v_scale=cache.v_scale)
+
+        return self._decode_layers(params, x_tok, caches, append,
+                                   tbl, valid, 1, reduce_fn)
 
     def decode_multi(self, params, x_toks, caches: Sequence[KVCache],
                      reduce_fn=None):
@@ -323,11 +383,9 @@ class SparseDecoder:
         may see up to ``q - 1`` extra trailing tokens of window (the
         block table is sized for the final position); sinks and
         causality are exact."""
-        m = self.model
-        b, qn, _ = x_toks.shape
+        qn = x_toks.shape[1]
         if qn > QPAD:
             raise ValueError(f"q {qn} > QPAD {QPAD}")
-        scale = 1.0 / float(np.sqrt(self.hd))
 
         pos = caches[0].kv_len[0]
         tbl, valid = decode_block_table(
@@ -335,28 +393,11 @@ class SparseDecoder:
             window_blocks=self.window_blocks,
             sink_blocks=self.sink_blocks)
 
-        new_caches = []
-        x = x_toks
-        for i in range(m.num_layers):
-            lp = self._layer_params(params, i)
-            cache = caches[i]
+        def append(cache, k3, v3):
+            return append_kv_seq(cache, k3, v3, pos)
 
-            def attn(q, k, v):
-                nonlocal cache
-                # k, v: [b, q, kv_heads, hd] -> [R_kv, q, hd]
-                cache = append_kv_seq(cache, self._fold(k),
-                                      self._fold(v), pos)
-                ctx = decode_attention(
-                    self._fold(q), cache, tbl, valid,
-                    bk=self.bk, qlen=qn, group=self.group,
-                    scale=scale)                        # [R, q, hd]
-                ctx = ctx.reshape(b, m.num_heads, qn, self.hd)
-                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
-                    b, qn, m.num_heads * self.hd)
-
-            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
-            new_caches.append(cache)
-        return x, tuple(new_caches)
+        return self._decode_layers(params, x_toks, caches, append,
+                                   tbl, valid, qn, reduce_fn)
 
     @staticmethod
     def rollback(caches: Sequence[KVCache], n: int) -> Tuple[KVCache, ...]:

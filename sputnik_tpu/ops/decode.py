@@ -35,8 +35,8 @@ from .pallas.decode_attention import QPAD, decode_attention_kernel
 
 __all__ = [
     "KVCache", "init_kv_cache", "append_kv", "append_kv_seq",
-    "prefill_kv", "decode_block_table", "table_from_topology_row",
-    "decode_attention",
+    "prefill_kv", "insert_kv_slot", "decode_block_table",
+    "table_from_topology_row", "decode_attention",
 ]
 
 
@@ -201,6 +201,46 @@ def prefill_kv(cache: KVCache, k_seq, v_seq, lengths=None) -> KVCache:
         kv_len=lengths.astype(jnp.int32),
         k_scale=cache.k_scale.at[:, :T].set(ks),
         v_scale=cache.v_scale.at[:, :T].set(vs),
+    )
+
+
+def insert_kv_slot(cache: KVCache, src: KVCache, slot, *,
+                   kv_heads: int) -> KVCache:
+    """Admit a sequence into batch slot ``slot`` (continuous batching).
+
+    Overwrites the ``kv_heads`` cache replicas of slot ``slot`` (rows
+    ``slot*kv_heads : (slot+1)*kv_heads``) with ``src``'s — a
+    single-sequence cache produced by a ``batch=1`` prefill. ``slot``
+    may be a traced scalar: the copy is one ``dynamic_update_slice``
+    per buffer, so admission jits into the serving loop. ``src`` may
+    have a smaller ``s_max`` (its tokens land at positions
+    ``[0, src.s_max)``; the slot's stale tail past that is never read
+    because ``kv_len`` is overwritten too). Cache dtype and head dim
+    must match."""
+    if src.k.dtype != cache.k.dtype:
+        raise ValueError(
+            f"src cache dtype {src.k.dtype} != {cache.k.dtype}")
+    if src.k.shape[-1] != cache.k.shape[-1]:
+        raise ValueError(
+            f"src hd_pad {src.k.shape[-1]} != {cache.k.shape[-1]}")
+    if src.k.shape[0] != kv_heads:
+        raise ValueError(
+            f"src has {src.k.shape[0]} replicas, expected kv_heads "
+            f"{kv_heads}")
+    if src.s_max > cache.s_max:
+        raise ValueError(
+            f"src s_max {src.s_max} > cache s_max {cache.s_max}")
+    z = jnp.int32(0)
+    r0 = jnp.asarray(slot, jnp.int32) * kv_heads
+    return KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, src.k, (r0, z, z)),
+        v=jax.lax.dynamic_update_slice(cache.v, src.v, (r0, z, z)),
+        kv_len=jax.lax.dynamic_update_slice(
+            cache.kv_len, src.kv_len.astype(jnp.int32), (r0,)),
+        k_scale=jax.lax.dynamic_update_slice(
+            cache.k_scale, src.k_scale, (r0, z)),
+        v_scale=jax.lax.dynamic_update_slice(
+            cache.v_scale, src.v_scale, (r0, z)),
     )
 
 

@@ -152,6 +152,32 @@ def test_generate_sampled_jit_deterministic_per_key():
     assert (a != c).any()  # different key, different draw (overwhelmingly)
 
 
+def test_generate_eos_pads_finished_sequences():
+    b, P, n_new = 2, 8, 5
+    rng = np.random.RandomState(5)
+    prompt = jnp.asarray(rng.randint(0, V, (b, P)))
+    lm = _build(b, P)
+    params = lm.init(jax.random.PRNGKey(0), prompt)
+    server = LMServer(lm, s_max=P + n_new, bk=8, cache_dtype=jnp.float32)
+
+    free, _ = server.generate(params, prompt, n_new, temperature=0.0)
+    # declare row 0's first greedy token the EOS: row 0 must emit it and
+    # then pad forever; row 1 is unaffected until (if ever) it emits it
+    eos = int(free[0, 0])
+    pad = (eos + 1) % V
+    toks, _ = server.generate(params, prompt, n_new, temperature=0.0,
+                              eos_id=eos, pad_id=pad)
+    t = np.asarray(toks)
+    assert t[0, 0] == eos
+    assert (t[0, 1:] == pad).all()
+    f1 = np.asarray(free[1])
+    stop = np.nonzero(f1 == eos)[0]
+    upto = (stop[0] + 1) if stop.size else n_new
+    np.testing.assert_array_equal(t[1, :upto], f1[:upto])
+    if stop.size:
+        assert (t[1, stop[0] + 1:] == pad).all()
+
+
 @pytest.mark.parametrize("kw", [
     dict(cache_dtype=jnp.int8),
     dict(window=6, sinks=1),

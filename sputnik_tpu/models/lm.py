@@ -169,6 +169,21 @@ class LMServer:
                                              reduce_fn=reduce_fn)
         return self._head(p, y)[:, 0], caches
 
+    def decode_step_ragged(self, params, tok, caches, active=None,
+                           reduce_fn=None):
+        """Token-level continuous-batching step: sequences at different
+        cache positions, ``active`` freezing finished slots — see
+        ``SparseDecoder.decode_step_ragged`` for semantics and the
+        scatter-append cost note, ``ops.decode.insert_kv_slot`` for
+        admitting a new request into a retired slot (the caches here ARE
+        the core decoder's caches, so cache-level admission applies
+        unchanged). ``tok [b] -> (logits [b, vocab], caches)``."""
+        p, core_params = self._split(params)
+        x = self._embed(p, tok)[:, None, :]
+        y, caches = self.decoder.decode_step_ragged(
+            core_params, x, caches, active, reduce_fn=reduce_fn)
+        return self._head(p, y)[:, 0], caches
+
     def generate(self, params, tokens, n_new: int, key=None, *,
                  temperature: float = 0.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,

@@ -152,6 +152,33 @@ def test_generate_sampled_jit_deterministic_per_key():
     assert (a != c).any()  # different key, different draw (overwhelmingly)
 
 
+def test_lm_ragged_step_matches_uniform_when_all_active():
+    b, P = 2, 8
+    rng = np.random.RandomState(6)
+    prompt = jnp.asarray(rng.randint(0, V, (b, P)))
+    lm = _build(b, P)
+    params = lm.init(jax.random.PRNGKey(0), prompt)
+    server = LMServer(lm, s_max=P + 4, bk=8, cache_dtype=jnp.float32)
+    _, caches = server.prefill(params, prompt, server.init_caches(b))
+    tok = jnp.asarray(rng.randint(0, V, (b,)))
+    lu, cu = server.decode_step(params, tok, caches)
+    lr, cr = server.decode_step_ragged(params, tok, caches,
+                                       jnp.ones((b,), bool))
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lu),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cr[0].kv_len),
+                                  np.asarray(cu[0].kv_len))
+    # freeze slot 1: its logits row is computed but its length is pinned
+    lf, cf = server.decode_step_ragged(
+        params, tok, caches, jnp.asarray(np.array([True, False])))
+    np.testing.assert_allclose(np.asarray(lf[0]), np.asarray(lu[0]),
+                               atol=1e-5, rtol=1e-5)
+    kvh = server.decoder.kv_heads
+    np.testing.assert_array_equal(
+        np.asarray(cf[0].kv_len),
+        np.array([P + 1] * kvh + [P] * kvh, np.int32))
+
+
 def test_generate_eos_pads_finished_sequences():
     b, P, n_new = 2, 8, 5
     rng = np.random.RandomState(5)

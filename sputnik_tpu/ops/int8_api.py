@@ -193,13 +193,17 @@ def spmm_qat(spec, panel, dense):
 
 def _qat_fwd(spec, panel, dense):
     qp = quantize_panel_jnp(panel)
-    return spmm_int8(spec, qp, dense), (qp, dense)
+    # zero-size dtype token: residuals must be JAX types, not dtypes
+    tok = jnp.zeros((0,), panel.dtype)
+    return spmm_int8(spec, qp, dense), (qp, dense, tok)
 
 
 def _qat_bwd(spec, res, g):
-    qp, dense = res
-    grad_dense = spmm_t_int8(spec, qp, g)
-    grad_panel = sddmm_int8(spec, g, dense)   # STE through quantization
+    qp, dense, tok = res
+    # int8 kernels emit f32; cotangents must match the primal dtypes
+    # (bf16 activations are the default streaming dtype)
+    grad_dense = spmm_t_int8(spec, qp, g).astype(dense.dtype)
+    grad_panel = sddmm_int8(spec, g, dense).astype(tok.dtype)  # STE
     return grad_panel, grad_dense
 
 
@@ -305,9 +309,10 @@ def _attn_i8t_bwd(spec, scale, res, g):
         meta["t_is_partial"], meta["pmask"],
         q_p, k_p, v_p, g_p, stats, dcoef,
         kb=spec.kb, max_bpc=int(meta["max_bpc"]), **common)
-    dq = dq_p[:, :s, :hd] * scale
-    dk = dk_p[:, : spec.n, :hd]
-    dv = dv_p[:, : spec.n, :hd]
+    # kernels emit f32; cotangents must match the primal q/k/v dtypes
+    dq = (dq_p[:, :s, :hd] * scale).astype(q_p.dtype)
+    dk = dk_p[:, : spec.n, :hd].astype(k_p.dtype)
+    dv = dv_p[:, : spec.n, :hd].astype(v_p.dtype)
     return dq, dk, dv
 
 
@@ -348,9 +353,6 @@ def attention_int8(spec, q, k, v, scale=None):
     q/k/v arrive f32/bf16 and are dynamically quantized per tile in the
     kernel. ~1e-2 relative error; use the fp32 fused kernel for training.
     """
-    from . import batched_panel as bp
-    from .fused_attention import _flash_meta, _hd_pad, _pad
-
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     scale = float(scale)
@@ -358,20 +360,6 @@ def attention_int8(spec, q, k, v, scale=None):
         from .fused_attention import fused_sparse_attention
 
         return fused_sparse_attention(spec, q, k, v, scale=scale)
-    meta = _flash_meta(spec)
-    R, s, hd = q.shape
-    hd_pad = _hd_pad(max(hd, 1))
-    q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
-    k_p = _pad(spec, k, spec.n_pad, hd_pad)
-    v_p = _pad(spec, v, spec.n_pad, hd_pad)
-    from .pallas import flash_sparse_int8 as fsi
-
-    out, _, _ = fsi.flash_sparse_attention_fwd_int8(
-        meta["block_cols"], meta["nblocks"], meta["mask_slot"],
-        meta["is_partial"], meta["pmask"],
-        q_p, k_p, v_p,
-        R=R, heads=spec.heads, mb=spec.mb,
-        max_bpr=int(meta["max_bpr"]), bm=int(meta["bm"]),
-        bk=int(meta["bk"]), interpret=_interp(),
-    )
+    out, _, _, _ = _int8_fwd_stats(spec, q, k, v, scale)
+    s, hd = q.shape[1], q.shape[2]
     return out[:, :s, :hd]

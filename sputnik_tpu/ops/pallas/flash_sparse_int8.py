@@ -74,7 +74,7 @@ def flash_sparse_attention_fwd_int8(
     def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
                q_ref, k_ref, v_ref, pm_ref,
                o_ref, m_ref, l_ref,
-               acc, m_scr, l_scr):
+               acc, m_scr, l_scr, q_i8, q_sc):
         i, s = pl.program_id(1), pl.program_id(2)
         r = pl.program_id(0)
         b = r // heads
@@ -84,10 +84,16 @@ def flash_sparse_attention_fwd_int8(
             acc[:] = jnp.zeros_like(acc)
             m_scr[:] = jnp.full_like(m_scr, _NEG_LARGE)
             l_scr[:] = jnp.zeros_like(l_scr)
+            # q is grid-invariant across the s slots: quantize ONCE per
+            # block-row (the per-step dynamic quantization is the VPU
+            # cost the int8 path pays; don't repeat it max_bpr times)
+            qq, qs = _quant_tile(q_ref[0])
+            q_i8[:] = qq
+            q_sc[0] = qs
 
         @pl.when(s < nblk_ref[b, i])
         def _():
-            q_q, q_s = _quant_tile(q_ref[0])
+            q_q, q_s = q_i8[:], q_sc[0]
             k_q, k_s = _quant_tile(k_ref[0])
             sc_i32 = jax.lax.dot_general(
                 q_q, k_q,
@@ -155,6 +161,8 @@ def flash_sparse_attention_fwd_int8(
                 pltpu.VMEM((bm, hd_pad), jnp.float32),
                 pltpu.VMEM((bm, 128), jnp.float32),
                 pltpu.VMEM((bm, 128), jnp.float32),
+                pltpu.VMEM((bm, hd_pad), jnp.int8),
+                pltpu.SMEM((1,), jnp.float32),
             ],
         ),
         out_shape=[
@@ -187,18 +195,28 @@ def flash_sparse_bwd_dq_int8(
 
     def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
                q_ref, k_ref, v_ref, g_ref, st_ref, d_ref, pm_ref,
-               dq_ref, acc):
+               dq_ref, acc, q_i8, g_i8, qg_sc):
         r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         b = r // heads
 
         @pl.when(s == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
+            # q and g are grid-invariant across the s slots (index maps
+            # (r, i, 0)): quantize ONCE per block-row, not per slot —
+            # the dynamic-quant VPU work is what makes the int8
+            # backward lose to fp32 (RESULTS.md: 3.19 vs 2.89 ms)
+            qq, qs = _quant_tile(q_ref[0])
+            q_i8[:] = qq
+            qg_sc[0] = qs
+            gq, gs = _quant_tile(g_ref[0])
+            g_i8[:] = gq
+            qg_sc[1] = gs
 
         @pl.when(s < nblk_ref[b, i])
         def _():
             k_q, k_s = _quant_tile(k_ref[0])
-            q_q, q_s = _quant_tile(q_ref[0])
+            q_q, q_s = q_i8[:], qg_sc[0]
             sc = jax.lax.dot_general(
                 q_q, k_q, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -211,7 +229,12 @@ def flash_sparse_bwd_dq_int8(
             l_row = jnp.maximum(st_ref[0][:, 1:2], 1e-30)
             p = jnp.exp(sc - m_row) / l_row
             p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
-            dp = _qdot_nt(g_ref[0], v_ref[0])
+            v_q, v_s = _quant_tile(v_ref[0])
+            dp = jax.lax.dot_general(
+                g_i8[:], v_q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT
+            ).astype(jnp.float32) * (qg_sc[1] * v_s)
             ds = p * (dp - d_ref[0][:, :1])
             ds_q, ds_s = _quant_tile(ds)
             acc[:] += jax.lax.dot(
@@ -248,7 +271,12 @@ def flash_sparse_bwd_dq_int8(
             ],
             out_specs=pl.BlockSpec((1, bm, hd_pad),
                                    lambda r, i, s, *p: (r, i, 0)),
-            scratch_shapes=[pltpu.VMEM((bm, hd_pad), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((bm, hd_pad), jnp.float32),
+                pltpu.VMEM((bm, hd_pad), jnp.int8),
+                pltpu.VMEM((bm, hd_pad), jnp.int8),
+                pltpu.SMEM((2,), jnp.float32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -273,7 +301,7 @@ def flash_sparse_bwd_dkv_int8(
 
     def kernel(ti_ref, tn_ref, slot_ref, part_ref,
                q_ref, k_ref, v_ref, g_ref, st_ref, d_ref, pm_ref,
-               dk_ref, dv_ref, acck, accv):
+               dk_ref, dv_ref, acck, accv, k_i8, v_i8, kv_sc):
         r, j, u = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         b = r // heads
 
@@ -281,10 +309,18 @@ def flash_sparse_bwd_dkv_int8(
         def _():
             acck[:] = jnp.zeros_like(acck)
             accv[:] = jnp.zeros_like(accv)
+            # k and v are grid-invariant across the u slots (index maps
+            # (r, j, 0)): quantize ONCE per block-column
+            kq, ks = _quant_tile(k_ref[0])
+            k_i8[:] = kq
+            kv_sc[0] = ks
+            vq, vs = _quant_tile(v_ref[0])
+            v_i8[:] = vq
+            kv_sc[1] = vs
 
         @pl.when(u < tn_ref[b, j])
         def _():
-            k_q, k_s = _quant_tile(k_ref[0])
+            k_q, k_s = k_i8[:], kv_sc[0]
             q_q, q_s = _quant_tile(q_ref[0])
             sc = jax.lax.dot_general(
                 q_q, k_q, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -299,7 +335,7 @@ def flash_sparse_bwd_dkv_int8(
             p = jnp.exp(sc - m_row) / l_row
             p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
             g_q, g_s = _quant_tile(g_ref[0])
-            v_q, v_s = _quant_tile(v_ref[0])
+            v_q, v_s = v_i8[:], kv_sc[1]
             dp = jax.lax.dot_general(
                 g_q, v_q, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -360,6 +396,9 @@ def flash_sparse_bwd_dkv_int8(
             scratch_shapes=[
                 pltpu.VMEM((bk, hd_pad), jnp.float32),
                 pltpu.VMEM((bk, hd_pad), jnp.float32),
+                pltpu.VMEM((bk, hd_pad), jnp.int8),
+                pltpu.VMEM((bk, hd_pad), jnp.int8),
+                pltpu.SMEM((2,), jnp.float32),
             ],
         ),
         out_shape=[

@@ -49,6 +49,31 @@ __all__ = [
 _NEG_LARGE = -1e30
 
 
+def _device_meta(spec):
+    """The spec's block metadata as DEVICE arrays, cached on the spec
+    (the ``fused_attention._flash_meta`` pattern): under a surrounding
+    ``jit`` the arrays enter as hoisted runtime buffers, not HLO
+    literals. The ``mask`` alone is values-sized
+    (``[ndev, G+1, bm, bk]`` f32) — baked constants would dwarf the
+    flash metadata that already blew the remote-compile payload limit
+    at s=32768 (CLAUDE.md gotcha). Cache only populated outside a
+    trace; tracing first still works, just without the caching."""
+    cached = getattr(spec, "_device_meta", None)
+    if cached is not None:
+        return cached
+    dev = {k: jnp.asarray(getattr(spec, k))
+           for k in ("block_offsets", "block_cols", "block_rows", "mask",
+                     "t_gblk", "t_rows", "t_nblocks")}
+    try:
+        from jax._src import core as _core
+
+        if _core.trace_state_clean():
+            spec._device_meta = dev
+    except Exception:
+        pass
+    return dev
+
+
 class ShardedCompressedSpec:
     """Static bundle: partition + compressed block metadata stacked over
     devices (common ``G = max total blocks per device``)."""
@@ -215,8 +240,8 @@ def _raw_spmm_c(spec, panels, dense):
     q = dense.shape[-1]
     q_pad = _round_up(max(q, 1), 128)
     dense_p = _pad2(dense, spec.n_pad, q_pad)
-    offs = jnp.asarray(spec.block_offsets)
-    cols = jnp.asarray(spec.block_cols)
+    meta = _device_meta(spec)
+    offs, cols = meta["block_offsets"], meta["block_cols"]
     x = spec.axis
     fn = _smap(
         spec,
@@ -231,9 +256,8 @@ def _raw_spmm_t_c(spec, panels, g_sh):
     q = g_sh.shape[-1]
     g_sh = _pad3(spec, g_sh)
     q_pad = g_sh.shape[-1]
-    tg = jnp.asarray(spec.t_gblk)
-    tr = jnp.asarray(spec.t_rows)
-    tn = jnp.asarray(spec.t_nblocks)
+    meta = _device_meta(spec)
+    tg, tr, tn = meta["t_gblk"], meta["t_rows"], meta["t_nblocks"]
     x = spec.axis
     fn = _smap(
         spec,
@@ -250,9 +274,9 @@ def _raw_sddmm_c(spec, lhs_sh, rhs):
     d_pad = _round_up(max(d, 1), 128)
     rhs_p = _pad2(rhs, spec.n_pad, d_pad)
     lhs_sh = _pad3(spec, lhs_sh)
-    offs = jnp.asarray(spec.block_offsets)
-    cols = jnp.asarray(spec.block_cols)
-    mask = jnp.asarray(spec.mask)
+    meta = _device_meta(spec)
+    offs, cols, mask = (meta["block_offsets"], meta["block_cols"],
+                        meta["mask"])
     x = spec.axis
     fn = _smap(
         spec,
@@ -264,8 +288,8 @@ def _raw_sddmm_c(spec, lhs_sh, rhs):
 
 
 def _raw_softmax_c(spec, panels):
-    mask = jnp.asarray(spec.mask)
-    rows = jnp.asarray(spec.block_rows)
+    meta = _device_meta(spec)
+    mask, rows = meta["mask"], meta["block_rows"]
     x = spec.axis
 
     def local(mk, rw, p):
@@ -349,8 +373,8 @@ def _sm_c_fwd(spec, panels):
 
 
 def _sm_c_bwd(spec, p, g):
-    rows = jnp.asarray(spec.block_rows)
-    mask = jnp.asarray(spec.mask)
+    meta = _device_meta(spec)
+    rows, mask = meta["block_rows"], meta["mask"]
     x = spec.axis
 
     def local(rw, mk, pp, gg):

@@ -366,3 +366,37 @@ def test_int8_qat_spmm_grads():
         relp = (np.abs(gp_flat[: t.nnz] - rgp_flat[: t.nnz]).max()
                 / np.abs(rgp_flat[: t.nnz]).max())
         assert relp < 5e-2, (backend, relp)
+
+
+def test_int8_qat_bf16_primals_grad_dtypes():
+    """custom_vjp requires cotangents to match the primal dtypes; the
+    int8 kernels emit f32, so the QAT backwards must cast — a bf16
+    activation (the default streaming dtype) used to crash jax.grad."""
+    from sputnik_tpu.ops import panel_api as P
+    from sputnik_tpu.ops import batched_panel as bp
+    from sputnik_tpu import int8 as q8
+
+    rng = np.random.RandomState(13)
+    A = ((rng.rand(64, 64) < 0.4) * rng.randn(64, 64)).astype(np.float32)
+    mat = st.SparseMatrix(A)
+    spec = P.PanelSpec(mat.topology, bm=16, bk=16)
+    panel = jnp.asarray(
+        P.values_to_panel_np(mat.topology, mat.values, 16, 16))
+    dense = jnp.asarray(rng.randn(64, 32), jnp.bfloat16)
+    gp, gd = jax.grad(
+        lambda p, d: jnp.sum(q8.spmm_qat(spec, p, d).astype(jnp.float32)),
+        argnums=(0, 1))(panel, dense)
+    assert gd.dtype == jnp.bfloat16 and gp.dtype == panel.dtype
+
+    # fused int8-backward attention with bf16 q/k/v
+    masks = np.tril(np.ones((1, 32, 32), np.float32))
+    bspec = bp.BatchedPanelSpec.from_many_mask(
+        st.many_mask.ManyMaskTopology.from_dense_masks(masks),
+        heads=1, bm=16, bk=16)
+    q = jnp.asarray(rng.randn(1, 32, 16), jnp.bfloat16)
+    dq, dk, dv = jax.grad(
+        lambda a, b, c: jnp.sum(
+            q8.attention_qat(bspec, a, b, c,
+                             backward="int8").astype(jnp.float32)),
+        argnums=(0, 1, 2))(q, q + 1, q - 1)
+    assert dq.dtype == dk.dtype == dv.dtype == jnp.bfloat16

@@ -91,18 +91,20 @@ class SparseMoE(nn.Module):
         probs = jax.nn.softmax(logits, axis=-1)
         expert = jnp.argmax(probs, axis=-1)                        # [T]
         gate = jnp.max(probs, axis=-1)                             # [T]
-        onehot = jax.nn.one_hot(expert, E, dtype=xf.dtype)         # [T, E]
+        # routing math stays int32/f32: a bf16 cumsum is only exact to
+        # 256, so with capacity > 256 two tokens would silently share a
+        # capacity slot (their inputs SUM in the dispatch einsum)
+        onehot_i = jax.nn.one_hot(expert, E, dtype=jnp.int32)      # [T, E]
 
         # GShard load-balance aux loss: E * sum_e(frac_tokens * mean_prob)
-        frac = jnp.mean(onehot, axis=0)
+        frac = jnp.mean(onehot_i.astype(probs.dtype), axis=0)
         mean_p = jnp.mean(probs, axis=0)
         self.sow("intermediates", "aux_loss", E * jnp.sum(frac * mean_p))
 
-        # position of each token within its expert; drop past capacity
-        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0            # [T, E]
-        keep = (pos >= 0) & (pos < C)
-        pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), C, dtype=xf.dtype)
-        dispatch = jnp.where(keep[..., None], pos_oh, 0.0)         # [T, E, C]
+        # position of each token within its expert; one_hot itself zeroes
+        # unrouted (-1) and over-capacity (>= C) slots
+        pos = jnp.cumsum(onehot_i, axis=0) * onehot_i - 1          # [T, E]
+        dispatch = jax.nn.one_hot(pos, C, dtype=xf.dtype)          # [T, E, C]
         combine = dispatch * gate[:, None, None]
 
         # --- per-expert sparse values (shared topology) ------------------

@@ -10,11 +10,48 @@ from __future__ import annotations
 
 import jax
 
-__all__ = ["round_up", "on_tpu", "use_kernels", "interp", "tile_n"]
+__all__ = ["round_up", "on_tpu", "use_kernels", "interp", "tile_n",
+           "trace_clean", "device_arrays"]
 
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def trace_clean() -> bool:
+    """True when not inside any JAX trace (safe to create + cache
+    device arrays)."""
+    try:
+        from jax._src import core as _core
+
+        return bool(_core.trace_state_clean())
+    except Exception:
+        return False
+
+
+def device_arrays(obj, attr: str, build) -> dict:
+    """Numpy metadata -> DEVICE arrays, cached as ``obj.<attr>``.
+
+    ``build()`` returns the numpy dict (called only on a cache miss;
+    non-ndarray entries are dropped). Device-resident metadata enters a
+    surrounding ``jit`` as hoisted runtime buffers, not HLO literals —
+    keeping compile payloads O(1) in topology size (the HTTP-413 /
+    slow-compile gotcha; see ``fused_attention._flash_meta``). The
+    cache is only populated outside a trace; tracing first still
+    works, just without caching.
+    """
+    import numpy as _np
+
+    import jax.numpy as jnp
+
+    cached = getattr(obj, attr, None)
+    if cached is not None:
+        return cached
+    dev = {k: jnp.asarray(v) for k, v in build().items()
+           if isinstance(v, _np.ndarray)}
+    if trace_clean():
+        setattr(obj, attr, dev)
+    return dev
 
 
 def on_tpu() -> bool:

@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..blocking import stack_block_meta
 from . import xla_ops
+from ._common import device_arrays as _device_arrays
 from ._common import interp as _interp
 from ._common import round_up as _round_up
 from ._common import use_kernels as _use_kernels
@@ -118,18 +119,24 @@ def _k_spmm_bh(cols, nblk, panels, dense, *, R, heads, mb, max_bpr,
     n_pad = dense.shape[-1]
     nb = n_pad // bn
 
-    def kernel(cols_ref, nblk_ref, p_ref, d_ref, o_ref):
+    def kernel(cols_ref, nblk_ref, p_ref, d_ref, o_ref, acc):
         r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(3)
 
+        # VMEM-scratch accumulate, single store at the last slot (the
+        # measured ~6% revisited-out_ref penalty; CLAUDE.md pattern)
         @pl.when(s == 0)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            acc[:] = jnp.zeros_like(acc)
 
         @pl.when(s < nblk_ref[r // heads, i])
         def _():
-            o_ref[0] += jax.lax.dot(
+            acc[:] += jax.lax.dot(
                 p_ref[0, 0, 0], d_ref[0],
                 preferred_element_type=jnp.float32)
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            o_ref[0] = acc[:]
 
     return pl.pallas_call(
         kernel,
@@ -146,6 +153,7 @@ def _k_spmm_bh(cols, nblk, panels, dense, *, R, heads, mb, max_bpr,
             ],
             out_specs=pl.BlockSpec(
                 (1, bm, bn), lambda r, i, j, s, c, nb_: (r, i, j)),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((R, mb * bm, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -163,24 +171,26 @@ def _k_sddmm_bh(cols, nblk, mask, lhs, rhs, *, R, heads, mb, max_bpr,
     d_pad = lhs.shape[-1]
     dt = d_pad // bd
 
-    def kernel(cols_ref, nblk_ref, m_ref, l_ref, r_ref, o_ref):
+    def kernel(cols_ref, nblk_ref, m_ref, l_ref, r_ref, o_ref, acc):
         r, i = pl.program_id(0), pl.program_id(1)
         s, t = pl.program_id(2), pl.program_id(3)
 
         @pl.when(t == 0)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            acc[:] = jnp.zeros_like(acc)
 
         @pl.when(s < nblk_ref[r // heads, i])
         def _():
-            o_ref[0, 0, 0] += jax.lax.dot_general(
+            acc[:] += jax.lax.dot_general(
                 l_ref[0], r_ref[0],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
+        # single store; padded s slots store 0 * mask (mask is zero
+        # there), keeping every output block defined
         @pl.when(t == dt - 1)
         def _():
-            o_ref[0, 0, 0] *= m_ref[0, 0, 0]
+            o_ref[0, 0, 0] = acc[:] * m_ref[0, 0, 0]
 
     return pl.pallas_call(
         kernel,
@@ -201,6 +211,7 @@ def _k_sddmm_bh(cols, nblk, mask, lhs, rhs, *, R, heads, mb, max_bpr,
             out_specs=pl.BlockSpec(
                 (1, 1, 1, bm, bk),
                 lambda r, i, s, t, c, nb_: (r, i, s, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct(
             (R, mb, max_bpr, bm, bk), jnp.float32),
@@ -219,19 +230,23 @@ def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
     q_pad = g.shape[-1]
     qb = q_pad // bq
 
-    def kernel(ti_ref, ts_ref, tn_ref, p_ref, g_ref, o_ref):
+    def kernel(ti_ref, ts_ref, tn_ref, p_ref, g_ref, o_ref, acc):
         r, j, u = pl.program_id(0), pl.program_id(1), pl.program_id(3)
 
         @pl.when(u == 0)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            acc[:] = jnp.zeros_like(acc)
 
         @pl.when(u < tn_ref[r // heads, j])
         def _():
-            o_ref[0] += jax.lax.dot_general(
+            acc[:] += jax.lax.dot_general(
                 p_ref[0, 0, 0], g_ref[0],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+
+        @pl.when(u == max_bpc - 1)
+        def _():
+            o_ref[0] = acc[:]
 
     return pl.pallas_call(
         kernel,
@@ -251,6 +266,7 @@ def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
             ],
             out_specs=pl.BlockSpec(
                 (1, bk, bq), lambda r, j, q, u, a, b_, c: (r, j, q)),
+            scratch_shapes=[pltpu.VMEM((bk, bq), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((R, kb * bk, q_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -266,11 +282,17 @@ def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
 # ---------------------------------------------------------------------------
 
 
+def _meta_dev(spec):
+    """``spec.meta`` as cached DEVICE arrays (see ``_common.device_arrays``:
+    keeps the mask/block metadata out of jit compile payloads)."""
+    return _device_arrays(spec, "_meta_dev_cache", lambda: spec.meta)
+
+
 def _mask_r(spec):
     """Element mask broadcast to replicas without materialising ``heads``
     copies: ``[B, ...] -> [R, ...]`` via a broadcast + reshape (XLA keeps
     the broadcast lazy inside the consuming fusion)."""
-    mask = jnp.asarray(spec.meta["mask"])
+    mask = _meta_dev(spec)["mask"]
     shape = (spec.B, spec.heads) + mask.shape[1:]
     return jnp.broadcast_to(mask[:, None], shape).reshape(
         (spec.R,) + mask.shape[1:])
@@ -289,8 +311,8 @@ def _spmm_impl(spec, panels, dense):
         q_pad = _round_up(max(q, 1), bn)
         dense_p = _pad_rows(spec, dense, spec.n_pad, q_pad)
         out = _k_spmm_bh(
-            jnp.asarray(spec.meta["block_cols"]),
-            jnp.asarray(spec.meta["nblocks"]),
+            _meta_dev(spec)["block_cols"],
+            _meta_dev(spec)["nblocks"],
             panels, dense_p,
             R=spec.R, heads=spec.heads, mb=spec.mb,
             max_bpr=spec.max_bpr, bm=spec.bm, bk=spec.bk, bn=bn,
@@ -316,9 +338,9 @@ def _spmm_t_impl(spec, panels, g_r):
         q_pad = _round_up(max(q, 1), bq)
         g_p = _pad_rows(spec, g_r, spec.m_pad, q_pad)
         out = _k_spmm_t_bh(
-            jnp.asarray(spec.meta["t_src_i"]),
-            jnp.asarray(spec.meta["t_src_s"]),
-            jnp.asarray(spec.meta["t_nblocks"]),
+            _meta_dev(spec)["t_src_i"],
+            _meta_dev(spec)["t_src_s"],
+            _meta_dev(spec)["t_nblocks"],
             panels, g_p,
             R=spec.R, heads=spec.heads, kb=spec.kb,
             max_bpc=spec.max_bpc, bm=spec.bm, bk=spec.bk, bq=bq,
@@ -345,9 +367,9 @@ def _sddmm_impl(spec, lhs_r, rhs_r):
         lhs_p = _pad_rows(spec, lhs_r, spec.m_pad, d_pad)
         rhs_p = _pad_rows(spec, rhs_r, spec.n_pad, d_pad)
         return _k_sddmm_bh(
-            jnp.asarray(spec.meta["block_cols"]),
-            jnp.asarray(spec.meta["nblocks"]),
-            jnp.asarray(spec.meta["mask"]),
+            _meta_dev(spec)["block_cols"],
+            _meta_dev(spec)["nblocks"],
+            _meta_dev(spec)["mask"],
             lhs_p, rhs_p,
             R=spec.R, heads=spec.heads, mb=spec.mb,
             max_bpr=spec.max_bpr, bm=spec.bm, bk=spec.bk, bd=bd,

@@ -93,22 +93,14 @@ class RowPartition:
 
     def stacked_block_meta(self, bm: int, bk: int):
         """``(block_cols [ndev, mb*max_bpr], nblocks [ndev, mb])`` with a
-        common ``max_bpr`` across shards, plus the per-shard BlockViews."""
+        common ``max_bpr`` across shards, plus the per-shard BlockViews
+        (``blocking.stack_block_meta`` over the shards — one
+        implementation of the repeat-pad/DMA-skip convention)."""
+        from ..blocking import stack_block_meta
+
         views = [s.block(bm, bk) for s in self.shards]
-        max_bpr = max(v.max_bpr for v in views)
-        mb = views[0].mb
-        cols = np.zeros((self.ndev, mb * max_bpr), np.int32)
-        nblk = np.zeros((self.ndev, mb), np.int32)
-        for d, v in enumerate(views):
-            c = np.zeros((mb, max_bpr), np.int32)
-            c[:, : v.max_bpr] = v.block_cols
-            for i in range(mb):
-                nb = int(v.nblocks[i])
-                if 0 < nb < max_bpr:
-                    c[i, nb:] = c[i, nb - 1]
-            cols[d] = c.reshape(-1)
-            nblk[d] = v.nblocks
-        return cols, nblk, max_bpr, views
+        meta = stack_block_meta(views)
+        return meta["block_cols"], meta["nblocks"], meta["max_bpr"], views
 
     def stacked_panel(self, values: np.ndarray, bm: int, bk: int,
                       max_bpr: Optional[int] = None) -> np.ndarray:

@@ -50,28 +50,19 @@ _NEG_LARGE = -1e30
 
 
 def _device_meta(spec):
-    """The spec's block metadata as DEVICE arrays, cached on the spec
-    (the ``fused_attention._flash_meta`` pattern): under a surrounding
-    ``jit`` the arrays enter as hoisted runtime buffers, not HLO
-    literals. The ``mask`` alone is values-sized
-    (``[ndev, G+1, bm, bk]`` f32) — baked constants would dwarf the
-    flash metadata that already blew the remote-compile payload limit
-    at s=32768 (CLAUDE.md gotcha). Cache only populated outside a
-    trace; tracing first still works, just without the caching."""
-    cached = getattr(spec, "_device_meta", None)
-    if cached is not None:
-        return cached
-    dev = {k: jnp.asarray(getattr(spec, k))
-           for k in ("block_offsets", "block_cols", "block_rows", "mask",
-                     "t_gblk", "t_rows", "t_nblocks")}
-    try:
-        from jax._src import core as _core
+    """The spec's block metadata as cached DEVICE arrays
+    (``_common.device_arrays``): under a surrounding ``jit`` the arrays
+    enter as hoisted runtime buffers, not HLO literals. The ``mask``
+    alone is values-sized (``[ndev, G+1, bm, bk]`` f32) — baked
+    constants would dwarf the flash metadata that already blew the
+    remote-compile payload limit at s=32768."""
+    from ..ops._common import device_arrays
 
-        if _core.trace_state_clean():
-            spec._device_meta = dev
-    except Exception:
-        pass
-    return dev
+    return device_arrays(
+        spec, "_device_meta_cache",
+        lambda: {k: getattr(spec, k)
+                 for k in ("block_offsets", "block_cols", "block_rows",
+                           "mask", "t_gblk", "t_rows", "t_nblocks")})
 
 
 class ShardedCompressedSpec:

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops._common import interp as _interp
+from ..ops._common import device_arrays as _device_arrays
 from ..ops._common import round_up as _round_up
 from ..ops._common import tile_n as _tile_n
 from ..ops.pallas import bsr_sddmm as _sddmm_mod
@@ -63,41 +64,25 @@ class ShardedPanelSpec:
         self.part = part
         self.bm, self.bk = bm, bk
         self.mesh, self.axis = mesh, axis
-        cols, nblk, max_bpr, views = part.stacked_block_meta(bm, bk)
-        self.block_cols = cols                   # [ndev, mb*max_bpr]
-        self.nblocks = nblk                      # [ndev, mb]
-        self.max_bpr = max_bpr
+        # one implementation of the stacked-metadata convention
+        # (repeat-padded slots -> Pallas index maps revisit, DMA skipped):
+        # blocking.stack_block_meta over the per-shard views
+        from ..blocking import stack_block_meta
+
+        views = [s.block(bm, bk) for s in part.shards]
+        meta = stack_block_meta(views)
         self.views = views
+        self.block_cols = meta["block_cols"]     # [ndev, mb*max_bpr]
+        self.nblocks = meta["nblocks"]           # [ndev, mb]
+        self.max_bpr = meta["max_bpr"]
+        self.mask = meta["mask"]                 # [ndev, mb, max_bpr, bm, bk]
+        self.t_src_i = meta["t_src_i"]
+        self.t_src_s = meta["t_src_s"]
+        self.t_nblocks = meta["t_nblocks"]
+        self.max_bpc = meta["max_bpc"]
         v0 = views[0]
         self.mb, self.kb = v0.mb, v0.kb
         self.m_pad_loc, self.n_pad = v0.m_pad, v0.n_pad
-
-        # Stacked element mask panels for SDDMM/softmax (device-sharded).
-        masks = []
-        for v in views:
-            m = np.zeros((self.mb, max_bpr, bm, bk), np.float32)
-            m[:, : v.max_bpr] = v.mask
-            masks.append(m)
-        self.mask = np.stack(masks)              # [ndev, mb, max_bpr, bm, bk]
-
-        # Stacked transposed-block metadata (for A^T @ G).
-        metas = [v.transpose_meta() for v in views]
-        max_bpc = max(ts.shape[1] for _, ts in metas)
-        ti = np.zeros((part.ndev, self.kb * max_bpc), np.int32)
-        ts_ = np.zeros((part.ndev, self.kb * max_bpc), np.int32)
-        tn = np.zeros((part.ndev, self.kb), np.int32)
-        for d, (tnb, tsrc) in enumerate(metas):
-            pad = np.zeros((self.kb, max_bpc, 2), np.int32)
-            pad[:, : tsrc.shape[1]] = tsrc
-            for j in range(self.kb):
-                nb = int(tnb[j])
-                if 0 < nb < max_bpc:
-                    pad[j, nb:] = pad[j, nb - 1]
-            ti[d] = pad[:, :, 0].reshape(-1)
-            ts_[d] = pad[:, :, 1].reshape(-1)
-            tn[d] = tnb
-        self.t_src_i, self.t_src_s, self.t_nblocks = ti, ts_, tn
-        self.max_bpc = max_bpc
 
     @property
     def panel_shape(self):
@@ -152,6 +137,17 @@ class ShardedPanelSpec:
 # ---------------------------------------------------------------------------
 
 
+def _spec_meta(spec):
+    """The spec's stacked block metadata as cached DEVICE arrays
+    (``_common.device_arrays``: hoisted jit buffers, not HLO literals —
+    the element-mask panels alone are values-sized)."""
+    return _device_arrays(
+        spec, "_device_meta",
+        lambda: {k: getattr(spec, k)
+                 for k in ("block_cols", "nblocks", "mask",
+                           "t_src_i", "t_src_s", "t_nblocks")})
+
+
 def _local_spmm(spec, cols, nblk, panel, dense, q_pad):
     return _spmm_mod.bsr_spmm_panel(
         cols[0], nblk[0], panel[0], dense,
@@ -204,8 +200,8 @@ def _raw_spmm(spec, panels, dense):
     q = dense.shape[-1]
     q_pad = _round_up(max(q, 1), 128)
     dense_p = _pad2(dense, spec.n_pad, q_pad)
-    cols = jnp.asarray(spec.block_cols)
-    nblk = jnp.asarray(spec.nblocks)
+    cols = _spec_meta(spec)["block_cols"]
+    nblk = _spec_meta(spec)["nblocks"]
     x = spec.axis
     fn = _smap(
         spec,
@@ -225,9 +221,9 @@ def _raw_spmm_t(spec, panels, g_sh):
     q = g_sh.shape[-1]
     g_sh = _pad3(spec, g_sh)
     q_pad = g_sh.shape[-1]
-    ti = jnp.asarray(spec.t_src_i)
-    ts = jnp.asarray(spec.t_src_s)
-    tn = jnp.asarray(spec.t_nblocks)
+    ti = _spec_meta(spec)["t_src_i"]
+    ts = _spec_meta(spec)["t_src_s"]
+    tn = _spec_meta(spec)["t_nblocks"]
     x = spec.axis
     fn = _smap(
         spec,
@@ -246,9 +242,9 @@ def _raw_sddmm(spec, lhs_sh, rhs):
     d_pad = _round_up(max(d, 1), 128)
     rhs_p = _pad2(rhs, spec.n_pad, d_pad)
     lhs_sh = _pad3(spec, lhs_sh)
-    cols = jnp.asarray(spec.block_cols)
-    nblk = jnp.asarray(spec.nblocks)
-    mask = jnp.asarray(spec.mask)
+    cols = _spec_meta(spec)["block_cols"]
+    nblk = _spec_meta(spec)["nblocks"]
+    mask = _spec_meta(spec)["mask"]
     x = spec.axis
     fn = _smap(
         spec,
@@ -261,7 +257,7 @@ def _raw_sddmm(spec, lhs_sh, rhs):
 
 def _raw_softmax(spec, panels):
     """Row softmax on sharded panels (communication-free)."""
-    mask = jnp.asarray(spec.mask)
+    mask = _spec_meta(spec)["mask"]
     x = spec.axis
 
     def local(mk, p):
@@ -474,8 +470,8 @@ def sharded_spmm_halo(spec, panels, dense_sh):
 def _raw_spmm_halo(spec, panels, dense_sh):
     n_loc, q = dense_sh.shape[1], dense_sh.shape[-1]
     q_pad = _round_up(max(q, 1), 128)
-    cols = jnp.asarray(spec.block_cols)
-    nblk = jnp.asarray(spec.nblocks)
+    cols = _spec_meta(spec)["block_cols"]
+    nblk = _spec_meta(spec)["nblocks"]
     x = spec.axis
     plan = _halo_plan(spec, n_loc)
 
@@ -516,12 +512,12 @@ def _sh_spmm_halo_bwd(spec, res, g):
         d_dense_full = _raw_spmm_t(spec, panels, g)[: ndev * n_loc, :q]
         return d_panels, jnp.reshape(d_dense_full, (ndev, n_loc, q))
 
-    cols = jnp.asarray(spec.block_cols)
-    nblk = jnp.asarray(spec.nblocks)
-    mask = jnp.asarray(spec.mask)
-    ti = jnp.asarray(spec.t_src_i)
-    ts = jnp.asarray(spec.t_src_s)
-    tn = jnp.asarray(spec.t_nblocks)
+    cols = _spec_meta(spec)["block_cols"]
+    nblk = _spec_meta(spec)["nblocks"]
+    mask = _spec_meta(spec)["mask"]
+    ti = _spec_meta(spec)["t_src_i"]
+    ts = _spec_meta(spec)["t_src_s"]
+    tn = _spec_meta(spec)["t_nblocks"]
     x = spec.axis
 
     def local_bwd(c, nb, mk, a, b, t, p, d_loc, g_loc):

@@ -120,3 +120,25 @@ def test_moe_expert_parallel_parity():
                      jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_moe_bf16_routing_exact_past_256():
+    """bf16 inputs with capacity > 256: routing positions must stay
+    exact (a bf16 cumsum rounds 257 -> 258, silently colliding capacity
+    slots and summing two tokens' inputs). One expert, 600 tokens: the
+    bf16 forward must match the f32 forward's routing bit-for-bit."""
+    rng = np.random.RandomState(7)
+    topo_in, topo_out = _topos(rng)
+    E, T, h = 1, 600, 32
+    moe = SparseMoE(topo_in=topo_in, topo_out=topo_out, num_experts=E,
+                    capacity_factor=1.25)  # C = 750 > 256
+    x32 = jnp.asarray(rng.randn(1, T, h).astype(np.float32))
+    params = moe.init(jax.random.PRNGKey(0), x32)
+    y32 = moe.apply(params, x32)
+    y16 = moe.apply(params, x32.astype(jnp.bfloat16))
+    # bf16 matmuls differ in rounding, but a routing collision changes
+    # outputs by O(1) (two tokens share a slot; inputs sum) — a loose
+    # elementwise bound separates rounding noise from mis-routing
+    d = np.abs(np.asarray(y16, np.float32) - np.asarray(y32))
+    scale = np.abs(np.asarray(y32)).max() + 1e-6
+    assert (d / scale).max() < 0.15, (d / scale).max()

@@ -230,6 +230,12 @@ def insert_kv_slot(cache: KVCache, src: KVCache, slot, *,
     if src.s_max > cache.s_max:
         raise ValueError(
             f"src s_max {src.s_max} > cache s_max {cache.s_max}")
+    n_slots = cache.k.shape[0] // kv_heads
+    if isinstance(slot, (int, np.integer)) and not 0 <= slot < n_slots:
+        # traced slots can't be checked here; a concrete out-of-range
+        # slot would otherwise CLAMP in dynamic_update_slice and
+        # silently overwrite a neighboring sequence's cache
+        raise ValueError(f"slot {slot} out of range [0, {n_slots})")
     z = jnp.int32(0)
     r0 = jnp.asarray(slot, jnp.int32) * kv_heads
     return KVCache(

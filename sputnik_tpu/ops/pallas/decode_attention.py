@@ -103,7 +103,7 @@ def decode_attention_kernel(
                     q_i8, k_ref[0],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                precision=jax.lax.Precision.DEFAULT)      # [QPAD, bk]
+                    precision=jax.lax.Precision.DEFAULT)  # [QPAD, bk]
                 sc = sc_i.astype(jnp.float32) * qs * ks
             else:
                 sc = jax.lax.dot_general(
@@ -138,7 +138,7 @@ def decode_attention_kernel(
                                 ).astype(jnp.int8)
                 ctx_i = jax.lax.dot(p_i8, v_ref[0],
                                     preferred_element_type=jnp.int32,
-                precision=jax.lax.Precision.DEFAULT)
+                                    precision=jax.lax.Precision.DEFAULT)
                 acc[:] = acc[:] * corr + ctx_i.astype(jnp.float32) * ps
             else:
                 pv = (p * vs).astype(v_ref.dtype) \

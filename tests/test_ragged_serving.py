@@ -197,3 +197,9 @@ def test_insert_kv_slot_validation():
     with pytest.raises(ValueError, match="s_max"):
         insert_kv_slot(big, init_kv_cache(2, 32, 32, dtype=jnp.float32),
                        0, kv_heads=2)
+    with pytest.raises(ValueError, match="out of range"):
+        insert_kv_slot(big, init_kv_cache(2, 16, 32, dtype=jnp.float32),
+                       2, kv_heads=2)
+    with pytest.raises(ValueError, match="out of range"):
+        insert_kv_slot(big, init_kv_cache(2, 16, 32, dtype=jnp.float32),
+                       -1, kv_heads=2)

@@ -154,11 +154,16 @@ class LMServer:
     def init_caches(self, batch: int):
         return self.decoder.init_caches(batch)
 
-    def prefill(self, params, tokens, caches, reduce_fn=None):
-        """Prompt pass: ``tokens [b, P] -> (logits [b, P, vocab], caches)``."""
+    def prefill(self, params, tokens, caches, reduce_fn=None,
+                lengths=None):
+        """Prompt pass: ``tokens [b, P] -> (logits [b, P, vocab], caches)``.
+        ``lengths``: per-sequence prompt lengths for right-padded
+        variable-length batches (positions past a sequence's length hold
+        garbage logits — read row ``s`` at ``lengths[s] - 1``)."""
         p, core_params = self._split(params)
         y, caches = self.decoder.prefill(core_params, self._embed(p, tokens),
-                                         caches, reduce_fn=reduce_fn)
+                                         caches, reduce_fn=reduce_fn,
+                                         lengths=lengths)
         return self._head(p, y), caches
 
     def decode_step(self, params, tok, caches, reduce_fn=None):
@@ -188,7 +193,7 @@ class LMServer:
                  temperature: float = 0.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  eos_id: Optional[int] = None, pad_id: int = 0,
-                 reduce_fn=None):
+                 prompt_lengths=None, reduce_fn=None):
         """Generate ``n_new`` tokens after prompt ``tokens [b, P]``.
 
         Returns ``(new_tokens [b, n_new], caches)``. Jits as one program
@@ -201,6 +206,12 @@ class LMServer:
         multi-tenant deployment that wants to REUSE finished slots runs
         the ragged path, ``SparseDecoder.decode_step_ragged`` +
         ``ops.decode.insert_kv_slot``, instead).
+
+        ``prompt_lengths`` (i32 ``[b]``): per-sequence lengths for a
+        variable-length batch right-padded to ``P``. Each sequence's
+        first token samples from its own last REAL position and decode
+        runs the ragged step (per-slot cache positions) — no padding of
+        the generation to the longest prompt.
         """
         if n_new < 1:
             raise ValueError(f"n_new must be >= 1, got {n_new}")
@@ -222,15 +233,26 @@ class LMServer:
         p, core_params = self._split(params)
         y, caches = self.decoder.prefill(
             core_params, self._embed(p, tokens),
-            self.init_caches(tokens.shape[0]), reduce_fn=reduce_fn)
+            self.init_caches(tokens.shape[0]), reduce_fn=reduce_fn,
+            lengths=prompt_lengths)
+        if prompt_lengths is None:
+            last = y[:, -1:]
+            step = self.decode_step
+        else:
+            idx = (jnp.asarray(prompt_lengths, jnp.int32) - 1)[:, None,
+                                                               None]
+            last = jnp.take_along_axis(
+                y, jnp.broadcast_to(idx, (y.shape[0], 1, y.shape[2])),
+                axis=1)
+            step = self.decode_step_ragged  # per-slot cache positions
         key, sub = jax.random.split(key)
         done0 = jnp.zeros((tokens.shape[0],), bool)
-        tok, done = pick(sub, self._head(p, y[:, -1:])[:, 0], done0)
+        tok, done = pick(sub, self._head(p, last)[:, 0], done0)
 
         def body(carry, _):
             tok, done, caches, key = carry
-            logits, caches = self.decode_step(params, tok, caches,
-                                              reduce_fn=reduce_fn)
+            logits, caches = step(params, tok, caches,
+                                  reduce_fn=reduce_fn)
             key, sub = jax.random.split(key)
             nxt, done = pick(sub, logits, done)
             return (nxt, done, caches, key), tok

@@ -217,15 +217,26 @@ class SparseDecoder:
         return spec
 
     def prefill(self, params, x, caches: Sequence[KVCache],
-                reduce_fn=None):
+                reduce_fn=None, lengths=None):
         """Run the prompt ``x [b, T, h]`` through the model (fused-flash
         attention on the model's own mask topology) and bulk-write every
-        layer's K/V into ``caches``. Returns ``(y [b, T, h], caches)``."""
+        layer's K/V into ``caches``. Returns ``(y [b, T, h], caches)``.
+
+        ``lengths`` (i32 ``[b]``, optional): per-sequence prompt lengths
+        for a VARIABLE-length batch padded to ``T`` on the right. With a
+        causal mask, rows ``< lengths[s]`` never attend pad positions,
+        so their activations are exact; pad rows produce garbage the
+        caller ignores (read each sequence's output at
+        ``lengths[s] - 1``). Cache ``kv_len`` is set per replica, so
+        decoding continues through ``decode_step_ragged`` (or
+        ``decode_step`` once lengths have been equalised)."""
         m = self.model
         mt = m.mask_topology
         b, T, _ = x.shape
         if T != mt.m:
             raise ValueError(f"prompt length {T} != mask rows {mt.m}")
+        len_r = None if lengths is None else jnp.repeat(
+            jnp.asarray(lengths, jnp.int32), self.kv_heads)
         scale = 1.0 / float(np.sqrt(self.hd))
         core = self._prefill_spec(T)
 
@@ -251,7 +262,8 @@ class SparseDecoder:
 
             x, (k, v) = self._block(lp, x, attn, reduce_fn=reduce_fn)
             new_caches.append(
-                prefill_kv(caches[i], self._fold(k), self._fold(v)))
+                prefill_kv(caches[i], self._fold(k), self._fold(v),
+                           lengths=len_r))
         return x, tuple(new_caches)
 
     # -- decode --------------------------------------------------------------

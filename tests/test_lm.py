@@ -179,6 +179,36 @@ def test_lm_ragged_step_matches_uniform_when_all_active():
         np.array([P + 1] * kvh + [P] * kvh, np.int32))
 
 
+def test_generate_variable_length_prompts():
+    """Right-padded variable-length prompt batch: each sequence must
+    generate exactly what it would alone at its true length."""
+    b, P, n_new = 2, 8, 3
+    lens = [6, 8]
+    rng = np.random.RandomState(8)
+    prompt = rng.randint(0, V, (b, P))
+    prompt[0, lens[0]:] = 0  # right padding (value irrelevant)
+    lm = _build(b, P)
+    params = lm.init(jax.random.PRNGKey(0), jnp.asarray(prompt))
+    server = LMServer(lm, s_max=P + n_new, bk=8, cache_dtype=jnp.float32)
+    toks, caches = server.generate(
+        params, jnp.asarray(prompt), n_new, temperature=0.0,
+        prompt_lengths=jnp.asarray(lens))
+    # per-slot cache positions advanced from each TRUE length
+    kvh = server.decoder.kv_heads
+    np.testing.assert_array_equal(
+        np.asarray(caches[0].kv_len),
+        np.repeat(np.asarray(lens) + n_new - 1, kvh))
+    for s in range(b):
+        lm_s = _build(1, lens[s])
+        srv_s = LMServer(lm_s, s_max=lens[s] + n_new, bk=8,
+                         cache_dtype=jnp.float32)
+        want, _ = srv_s.generate(params,
+                                 jnp.asarray(prompt[s:s + 1, :lens[s]]),
+                                 n_new, temperature=0.0)
+        np.testing.assert_array_equal(np.asarray(toks[s]),
+                                      np.asarray(want[0]))
+
+
 def test_generate_eos_pads_finished_sequences():
     b, P, n_new = 2, 8, 5
     rng = np.random.RandomState(5)

@@ -1,6 +1,7 @@
 from .attention import SparseAttention
 from .linear import SparseLinear, sparse_kaiming_values
-from .lm import LMServer, SparseLM, sample_logits
+from .lm import (LMServer, SparseLM, apply_repetition_penalty,
+                 sample_logits)
 from .moe import SparseMoE
 from .serving import SparseDecoder
 from .transformer import (
@@ -23,6 +24,7 @@ __all__ = [
     "SparseSelfAttention",
     "SparseTransformer",
     "TransformerLayer",
+    "apply_repetition_penalty",
     "sample_logits",
     "sparse_kaiming_values",
 ]

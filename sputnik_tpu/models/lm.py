@@ -30,7 +30,8 @@ import numpy as np
 from .serving import SparseDecoder, _layernorm
 from .transformer import SparseTransformer
 
-__all__ = ["SparseLM", "LMServer", "sample_logits"]
+__all__ = ["SparseLM", "LMServer", "sample_logits",
+           "apply_repetition_penalty"]
 
 
 class SparseLM(nn.Module):
@@ -72,6 +73,14 @@ class SparseLM(nn.Module):
         return nn.Dense(self.vocab_size, use_bias=False, name="lm_head")(x)
 
 
+def apply_repetition_penalty(logits, present, penalty: float):
+    """HF-style repetition penalty: for tokens marked ``present``
+    (bool ``[..., vocab]``), positive logits divide by ``penalty`` and
+    negative logits multiply — both push already-seen tokens down."""
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(present, pen, logits)
+
+
 def sample_logits(key, logits, *, temperature: float = 1.0,
                   top_k: Optional[int] = None,
                   top_p: Optional[float] = None):
@@ -84,7 +93,9 @@ def sample_logits(key, logits, *, temperature: float = 1.0,
     scales FIRST, then top-k, then top-p — so the nucleus mass test
     runs on the distribution actually sampled. All branches are static
     Python — the traced graph contains only the selected filter, so
-    this is jit-safe with static sampling params.
+    this is jit-safe with static sampling params. (Repetition penalty
+    composes BEFORE this function — ``apply_repetition_penalty`` with a
+    token-presence mask, as ``LMServer.generate`` does.)
     """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
@@ -193,6 +204,7 @@ class LMServer:
                  temperature: float = 0.0, top_k: Optional[int] = None,
                  top_p: Optional[float] = None,
                  eos_id: Optional[int] = None, pad_id: int = 0,
+                 repetition_penalty: float = 1.0,
                  prompt_lengths=None, reduce_fn=None):
         """Generate ``n_new`` tokens after prompt ``tokens [b, P]``.
 
@@ -212,6 +224,11 @@ class LMServer:
         first token samples from its own last REAL position and decode
         runs the ragged step (per-slot cache positions) — no padding of
         the generation to the longest prompt.
+
+        ``repetition_penalty`` (HF semantics, > 1 discourages repeats):
+        logits of every token already present in the sequence (prompt +
+        generated so far) are penalised before sampling; applies to
+        greedy decoding too.
         """
         if n_new < 1:
             raise ValueError(f"n_new must be >= 1, got {n_new}")
@@ -219,13 +236,30 @@ class LMServer:
             raise ValueError("sampling (temperature != 0) needs a PRNG key")
         key = key if key is not None else jax.random.PRNGKey(0)
 
-        def pick(k, logits, done):
+        b = tokens.shape[0]
+        if repetition_penalty != 1.0:
+            # token-presence mask [b, vocab], seeded from the prompt
+            # (pad positions excluded when prompt_lengths is given)
+            valid = jnp.ones(tokens.shape, bool) if prompt_lengths is None \
+                else (jnp.arange(tokens.shape[1])[None, :]
+                      < jnp.asarray(prompt_lengths, jnp.int32)[:, None])
+            present0 = jnp.zeros((b, self.lm.vocab_size), bool).at[
+                jnp.arange(b)[:, None], tokens].max(valid)
+        else:
+            present0 = None
+
+        def pick(k, logits, done, present):
+            if present is not None:
+                logits = apply_repetition_penalty(
+                    logits, present, repetition_penalty)
             tok = sample_logits(k, logits, temperature=temperature,
                                 top_k=top_k, top_p=top_p)
-            if eos_id is None:
-                return tok, done
-            tok = jnp.where(done, pad_id, tok)
-            return tok, done | (tok == eos_id)
+            if eos_id is not None:
+                tok = jnp.where(done, pad_id, tok)
+                done = done | (tok == eos_id)
+            if present is not None:
+                present = present.at[jnp.arange(b), tok].set(True)
+            return tok, done, present
 
         # prefill at the activation level and head ONLY the last position
         # (self.prefill scores all P positions — a [b, P, vocab] logits
@@ -246,19 +280,21 @@ class LMServer:
                 axis=1)
             step = self.decode_step_ragged  # per-slot cache positions
         key, sub = jax.random.split(key)
-        done0 = jnp.zeros((tokens.shape[0],), bool)
-        tok, done = pick(sub, self._head(p, last)[:, 0], done0)
+        done0 = jnp.zeros((b,), bool)
+        tok, done, present = pick(sub, self._head(p, last)[:, 0], done0,
+                                  present0)
 
         def body(carry, _):
-            tok, done, caches, key = carry
+            tok, done, present, caches, key = carry
             logits, caches = step(params, tok, caches,
                                   reduce_fn=reduce_fn)
             key, sub = jax.random.split(key)
-            nxt, done = pick(sub, logits, done)
-            return (nxt, done, caches, key), tok
+            nxt, done, present = pick(sub, logits, done, present)
+            return (nxt, done, present, caches, key), tok
 
-        (last, _, caches, _), toks = jax.lax.scan(
-            body, (tok, done, tuple(caches), key), None, length=n_new - 1)
+        (last, _, _, caches, _), toks = jax.lax.scan(
+            body, (tok, done, present, tuple(caches), key), None,
+            length=n_new - 1)
         # toks [n_new-1, b] (empty when n_new == 1) + the final carry
         new_tokens = jnp.concatenate(
             [jnp.moveaxis(toks, 0, 1), last[:, None]], axis=1)

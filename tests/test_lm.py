@@ -179,6 +179,28 @@ def test_lm_ragged_step_matches_uniform_when_all_active():
         np.array([P + 1] * kvh + [P] * kvh, np.int32))
 
 
+def test_generate_repetition_penalty():
+    b, P, n_new = 2, 8, 5
+    rng = np.random.RandomState(9)
+    prompt = jnp.asarray(rng.randint(0, V, (b, P)))
+    lm = _build(b, P)
+    params = lm.init(jax.random.PRNGKey(0), prompt)
+    server = LMServer(lm, s_max=P + n_new, bk=8, cache_dtype=jnp.float32)
+    base, _ = server.generate(params, prompt, n_new, temperature=0.0)
+    same, _ = server.generate(params, prompt, n_new, temperature=0.0,
+                              repetition_penalty=1.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    # a strong penalty forbids any repeat of prompt or generated tokens
+    toks, _ = server.generate(params, prompt, n_new, temperature=0.0,
+                              repetition_penalty=1e9)
+    t = np.asarray(toks)
+    for s in range(b):
+        seen = set(np.asarray(prompt[s]))
+        for x in t[s]:
+            assert int(x) not in seen
+            seen.add(int(x))
+
+
 def test_generate_variable_length_prompts():
     """Right-padded variable-length prompt batch: each sequence must
     generate exactly what it would alone at its true length."""

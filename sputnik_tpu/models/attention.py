@@ -90,8 +90,11 @@ class SparseAttention(nn.Module):
         """x: ``[batch, seq, embed]`` -> ``[batch, seq, embed]``."""
         b, s, _ = x.shape
         t = self.score_topology
-        if s != t.m:
-            raise ValueError(f"seq {s} != score topology rows {t.m}")
+        if s != t.m or s != t.n:
+            # a non-square score topology would silently attend over
+            # zero-padded K/V rows
+            raise ValueError(
+                f"seq {s} != score topology [{t.m}, {t.n}]")
 
         def split_heads(y):  # [b, s, e] -> [b*h, s, hd]
             y = y.reshape(b, s, self.num_heads, self.head_dim)

@@ -140,9 +140,12 @@ def _spmm_fwd(topo, values, dense):
 
 def _spmm_bwd(topo, res, g):
     values, dense = res
-    d_values = _sddmm_impl(topo, g, dense)
+    # cotangent dtypes must match the primals (mixed bf16/f32 operands
+    # promote in the impls; custom_vjp rejects promoted grads)
+    d_values = _sddmm_impl(topo, g, dense).astype(values.dtype)
     topo_t, _ = topo.transpose()
-    d_dense = _spmm_impl(topo_t, _transpose_values(topo, values), g)
+    d_dense = _spmm_impl(topo_t, _transpose_values(topo, values),
+                         g).astype(dense.dtype)
     return d_values, d_dense
 
 
@@ -160,9 +163,10 @@ def _sddmm_fwd(topo, lhs, rhs):
 
 def _sddmm_bwd(topo, res, g):
     lhs, rhs = res
-    d_lhs = _spmm_impl(topo, g, rhs)
+    d_lhs = _spmm_impl(topo, g, rhs).astype(lhs.dtype)
     topo_t, _ = topo.transpose()
-    d_rhs = _spmm_impl(topo_t, _transpose_values(topo, g), lhs)
+    d_rhs = _spmm_impl(topo_t, _transpose_values(topo, g),
+                       lhs).astype(rhs.dtype)
     return d_lhs, d_rhs
 
 
@@ -176,12 +180,15 @@ def _sparse_softmax(topo, values):
 
 def _sparse_softmax_fwd(topo, values):
     p = _softmax_impl(topo, values)
-    return p, p
+    # dtype token: the cotangent must match the PRIMAL values dtype,
+    # which the softmax may have promoted away from
+    return p, (p, jnp.zeros((0,), values.dtype))
 
 
-def _sparse_softmax_bwd(topo, p, g):
+def _sparse_softmax_bwd(topo, res, g):
+    p, tok = res
     _, row_ids, _ = _consts(topo)
-    return (xla_ops.softmax_vjp(p, g, row_ids, topo.m),)
+    return (xla_ops.softmax_vjp(p, g, row_ids, topo.m).astype(tok.dtype),)
 
 
 _sparse_softmax.defvjp(_sparse_softmax_fwd, _sparse_softmax_bwd)
@@ -203,16 +210,18 @@ def _spmm_bias_relu(topo, values, dense, bias):
 
 def _spmm_bias_relu_fwd(topo, values, dense, bias):
     out = _spmm_bias_relu_impl(topo, values, dense, bias)
-    return out, (values, dense, out)
+    # zero-size dtype token for the bias cotangent cast
+    return out, (values, dense, jnp.zeros((0,), bias.dtype), out)
 
 
 def _spmm_bias_relu_bwd(topo, res, g):
-    values, dense, out = res
+    values, dense, bias_dtype, out = res
     ge = jnp.where(out > 0, g, 0.0)
-    d_values = _sddmm_impl(topo, ge, dense)
+    d_values = _sddmm_impl(topo, ge, dense).astype(values.dtype)
     topo_t, _ = topo.transpose()
-    d_dense = _spmm_impl(topo_t, _transpose_values(topo, values), ge)
-    d_bias = jnp.sum(ge, axis=-1)
+    d_dense = _spmm_impl(topo_t, _transpose_values(topo, values),
+                         ge).astype(dense.dtype)
+    d_bias = jnp.sum(ge, axis=-1).astype(bias_dtype.dtype)
     return d_values, d_dense, d_bias
 
 

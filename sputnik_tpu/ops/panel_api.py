@@ -128,9 +128,11 @@ def panel_to_values(topo, panel, bm: int, bk: int,
     return jnp.take(flat, jnp.asarray(bv.gather_idx))
 
 
-def panel_kaiming_values(topo, bm: int, bk: int, *, gain: float = 1.0):
-    """Kaiming-uniform init over nonzero slots, in panel layout."""
-    bv = topo.block(bm, bk)
+def panel_kaiming_values(topo, bm: int, bk: int, *, gain: float = 1.0,
+                         compressed: bool = False):
+    """Kaiming-uniform init over nonzero slots, in panel layout
+    (ELL or, with ``compressed=True``, the true-BSR layout)."""
+    bv = _view(topo, bm, bk, compressed)
     fan_in = max(float(topo.nnz) / max(topo.m, 1), 1.0)
     bound = gain * np.sqrt(3.0 / fan_in)
 
@@ -190,9 +192,21 @@ def _spec(spec) -> PanelSpec:
 
 def _flat(spec, panel):
     """Panel -> flat CSR values via host indices (oracle path only)."""
-    bv = spec.view
-    flat = jnp.concatenate([panel.reshape(-1), jnp.zeros((1,), panel.dtype)])
-    return jnp.take(flat, jnp.asarray(bv.gather_idx))
+    return panel_to_values(spec.topo, panel, spec.bm, spec.bk,
+                           compressed=spec.compressed)
+
+
+def _check_rows(name, x, n_true, n_pad):
+    """The padding paths below silently zero-fill missing rows — a
+    wrong-sized operand (forgotten transpose, wrong feature dim) would
+    return plausible wrong numerics, so reject it here (the flat-CSR
+    layer's `_check_dense` equivalent for the panel hot path)."""
+    if x.ndim != 2:
+        raise ValueError(f"{name} must be rank 2, got shape {x.shape}")
+    if x.shape[0] not in (n_true, n_pad):
+        raise ValueError(
+            f"{name} has {x.shape[0]} rows; expected {n_true} "
+            f"(or tile-padded {n_pad})")
 
 
 def _match_dtypes(panel, dense):
@@ -208,6 +222,7 @@ def _match_dtypes(panel, dense):
 
 def _spmm_impl(spec, panel, dense, bias=None, epilogue="none"):
     t, bv = spec.topo, spec.view
+    _check_rows("dense", dense, t.n, bv.n_pad)
     panel, dense = _match_dtypes(panel, dense)
     if _use_kernels():
         n_out = dense.shape[-1]
@@ -256,6 +271,7 @@ def _spmm_impl(spec, panel, dense, bias=None, epilogue="none"):
 def _spmm_t_impl(spec, panel, g):
     """``A^T @ G`` off the original panel."""
     t, bv = spec.topo, spec.view
+    _check_rows("g", g, t.m, bv.m_pad)
     panel, g = _match_dtypes(panel, g)
     if _use_kernels():
         t_nblocks, t_src = bv.transpose_meta()
@@ -301,6 +317,8 @@ def _spmm_t_impl(spec, panel, g):
 
 def _sddmm_impl(spec, lhs, rhs):
     t, bv = spec.topo, spec.view
+    _check_rows("lhs", lhs, t.m, bv.m_pad)
+    _check_rows("rhs", rhs, t.n, bv.n_pad)
     if _use_kernels():
         d = lhs.shape[-1]
         # deeper contraction tiles amortise per-step overhead on large d
@@ -338,9 +356,8 @@ def _sddmm_impl(spec, lhs, rhs):
             bm=spec.bm, bk=spec.bk, bd=bd, interpret=_interp(),
         )
     vals = xla_ops.sddmm(lhs, rhs, t.row_ids, t.column_indices, t.valid)
-    flat = jnp.zeros((bv.dump + 1,), vals.dtype)
-    flat = flat.at[jnp.asarray(bv.scatter_idx)].set(vals)
-    return flat[: bv.dump].reshape(bv.values_shape)
+    return values_to_panel(t, vals, spec.bm, spec.bk,
+                           compressed=spec.compressed)
 
 
 _NEG_LARGE = -1e30
@@ -375,9 +392,7 @@ def _softmax_impl(spec, panel):
         vals = _flat(spec, panel)
         sm = xla_ops.sparse_softmax(
             vals, jnp.asarray(t.row_ids), jnp.asarray(t.valid), t.m)
-        flat = jnp.zeros((bv.dump + 1,), sm.dtype)
-        flat = flat.at[jnp.asarray(bv.scatter_idx)].set(sm)
-        return flat[: bv.dump].reshape(bv.values_shape)
+        return values_to_panel(t, sm, spec.bm, spec.bk, compressed=True)
     mask = jnp.asarray(spec.view.mask)
     v = jnp.where(mask, panel, _NEG_LARGE)
     row_max = jnp.max(v, axis=(1, 3), keepdims=True)

@@ -275,3 +275,35 @@ class TestGrads:
                         jnp.asarray(b, jnp.float64),
                         jnp.asarray(bias, jnp.float64)),
                     order=1, modes=["rev"], rtol=2e-2, atol=2e-2)
+
+
+def test_flat_api_mixed_dtype_grads():
+    """bf16/f32 mixed primals through the flat-CSR custom_vjps: the
+    impls promote, so the backward rules must cast cotangents back to
+    the primal dtypes (custom_vjp rejects promoted grads)."""
+    rng = np.random.RandomState(21)
+    A = ((rng.rand(48, 40) < 0.4) * rng.randn(48, 40)).astype(np.float32)
+    mat = st.SparseMatrix(A)
+    t = mat.topology
+    vals16 = jnp.asarray(mat.values, jnp.bfloat16)
+    dense = jnp.asarray(rng.randn(40, 24).astype(np.float32))
+    bias = jnp.asarray(rng.randn(48).astype(np.float32))
+
+    gv, gd = jax.grad(lambda v, d: jnp.sum(
+        st.spmm(t, v, d).astype(jnp.float32)), argnums=(0, 1))(vals16, dense)
+    assert gv.dtype == jnp.bfloat16 and gd.dtype == dense.dtype
+
+    gv, gd, gb = jax.grad(lambda v, d, b: jnp.sum(
+        st.spmm_bias_relu(t, v, d, b).astype(jnp.float32)),
+        argnums=(0, 1, 2))(vals16, dense, bias)
+    assert gv.dtype == jnp.bfloat16 and gb.dtype == bias.dtype
+
+    lhs16 = jnp.asarray(rng.randn(48, 24), jnp.bfloat16)
+    rhs = jnp.asarray(rng.randn(40, 24).astype(np.float32))
+    gl, gr = jax.grad(lambda l, r: jnp.sum(
+        st.sddmm(t, l, r).astype(jnp.float32)), argnums=(0, 1))(lhs16, rhs)
+    assert gl.dtype == jnp.bfloat16 and gr.dtype == rhs.dtype
+
+    gsm = jax.grad(lambda v: jnp.sum(
+        st.sparse_softmax(t, v).astype(jnp.float32)))(vals16)
+    assert gsm.dtype == jnp.bfloat16

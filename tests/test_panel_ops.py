@@ -322,3 +322,42 @@ def test_compressed_softmax_gradcheck():
         (panel.astype(jnp.float64),),
         order=1, modes=["rev"], atol=1e-3, rtol=1e-3,
     )
+
+
+def test_panel_ops_reject_wrong_row_counts():
+    """The padding path must not silently zero-fill a wrong-sized
+    operand (forgotten transpose / wrong feature dim)."""
+    rng = np.random.RandomState(22)
+    A = ((rng.rand(64, 48) < 0.4) * rng.randn(64, 48)).astype(np.float32)
+    mat = st.SparseMatrix(A)
+    spec = P.PanelSpec(mat.topology, bm=16, bk=16)
+    panel = jnp.asarray(
+        P.values_to_panel_np(mat.topology, mat.values, 16, 16))
+    with pytest.raises(ValueError, match="rows"):
+        P.spmm(spec, panel, jnp.zeros((32, 8)))   # dense rows != n
+    with pytest.raises(ValueError, match="rows"):
+        P.spmm_t(spec, panel, jnp.zeros((48, 8)))  # g rows != m
+    with pytest.raises(ValueError, match="rows"):
+        P.sddmm(spec, jnp.zeros((48, 8)), jnp.zeros((48, 8)))
+    with pytest.raises(ValueError, match="rank"):
+        P.spmm(spec, panel, jnp.zeros((48,)))
+    # tile-padded operands stay accepted (the kernel hot path)
+    bv = spec.view
+    out = P.spmm(spec, panel, jnp.zeros((bv.n_pad, 128)))
+    assert out.shape == (64, 128)
+
+
+def test_panel_kaiming_compressed_layout():
+    rng = np.random.RandomState(23)
+    mask = np.zeros((64, 64), np.float32)
+    mask[:16, :] = 1            # skewed: one dense band
+    mask[np.arange(64), np.arange(64)] = 1
+    topo = st.SparseTopology.from_dense_mask(mask)
+    init = P.panel_kaiming_values(topo, 16, 16, compressed=True)
+    vals = init(jax.random.PRNGKey(0))
+    spec = P.PanelSpec(topo, bm=16, bk=16, compressed=True)
+    assert vals.shape == spec.view.values_shape
+    # masked slots are zero, occupied slots are not all zero
+    m = np.asarray(spec.view.mask)
+    v = np.asarray(vals)
+    assert (v[m == 0] == 0).all() and np.abs(v[m != 0]).max() > 0

@@ -73,8 +73,7 @@ def build_ell(topo, *, lane: int = 128) -> EllView:
 
     scatter_idx = np.full(nnz_pad, dump, dtype=np.int32)
     scatter_idx[:nnz] = flat
-    gather_idx = np.full(nnz_pad, dump, dtype=np.int32)
-    gather_idx[:nnz] = flat
+    gather_idx = scatter_idx  # identical map, used in both directions
 
     cols = np.zeros((m, l_pad), dtype=np.int32)
     mask = np.zeros((m, l_pad), dtype=bool)
@@ -177,8 +176,7 @@ def build_blocks(topo, *, bm: int, bk: int) -> BlockView:
         dump = mb * max_bpr * bm * bk
         scatter_idx = np.full(nnz_pad, dump, dtype=np.int32)
         scatter_idx[:nnz] = flat32
-        gather_idx = np.full(nnz_pad, dump, dtype=np.int32)
-        gather_idx[:nnz] = flat32
+        gather_idx = scatter_idx  # identical map, used in both directions
         mask = np.zeros((mb, max_bpr, bm, bk), dtype=bool)
         mask.reshape(-1)[flat] = True
         return BlockView(
@@ -220,8 +218,7 @@ def build_blocks(topo, *, bm: int, bk: int) -> BlockView:
 
     scatter_idx = np.full(nnz_pad, dump, dtype=np.int32)
     scatter_idx[:nnz] = flat
-    gather_idx = np.full(nnz_pad, dump, dtype=np.int32)
-    gather_idx[:nnz] = flat
+    gather_idx = scatter_idx  # identical map, used in both directions
 
     mask = np.zeros((mb, max_bpr, bm, bk), dtype=bool)
     mask.reshape(-1)[flat] = True
@@ -385,5 +382,5 @@ def build_compressed(topo, *, bm: int, bk: int) -> CompressedView:
         max_bpr=int(bv.nblocks.max(initial=1)),
         block_offsets=starts.astype(np.int32),
         block_cols=block_cols, block_rows=block_rows,
-        scatter_idx=flat, gather_idx=flat.copy(), mask=mask,
+        scatter_idx=flat, gather_idx=flat, mask=mask,
     )

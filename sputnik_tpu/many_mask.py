@@ -21,14 +21,14 @@ same backward algebra as ``ops/api.py``.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List, Tuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .ops import xla_ops
-from .topology import SparseTopology, _round_up
+from .topology import DEFAULT_PAD_TO, SparseTopology, _round_up
 
 __all__ = [
     "ManyMaskTopology",
@@ -46,7 +46,8 @@ class ManyMaskTopology:
     stacked with a shared ``nnz_pad`` bucket.
     """
 
-    def __init__(self, topologies: List[SparseTopology]):
+    def __init__(self, topologies: List[SparseTopology],
+                 pad_to: Optional[int] = None):
         assert topologies, "need at least one mask"
         m, n = topologies[0].m, topologies[0].n
         for t in topologies:
@@ -54,7 +55,11 @@ class ManyMaskTopology:
         self.b = len(topologies)
         self.m, self.n = m, n
         self.nnzs = np.array([t.nnz for t in topologies], dtype=np.int32)
-        self.nnz_pad = _round_up(int(self.nnzs.max(initial=1)), 4)
+        # shared bucket multiple; pass pad_to=128 to keep TPU lane
+        # alignment a member was built with (the default mirrors the
+        # reference's round-to-4, topology.DEFAULT_PAD_TO)
+        self.nnz_pad = _round_up(int(self.nnzs.max(initial=1)),
+                                 pad_to or DEFAULT_PAD_TO)
 
         def pad_slot(t, arr, fill):
             out = np.full(self.nnz_pad, fill, dtype=arr.dtype)
@@ -74,13 +79,15 @@ class ManyMaskTopology:
         self._transpose_cache = None
 
     @classmethod
-    def from_dense_masks(cls, masks: np.ndarray) -> "ManyMaskTopology":
+    def from_dense_masks(cls, masks: np.ndarray,
+                         pad_to: Optional[int] = None) -> "ManyMaskTopology":
         """masks: [b, m, n] (e.g. the per-step attention mask tensor the
         reference converts on every forward, ``tests/transformer/modules.py:29``
         — here you build once and cache)."""
         masks = np.asarray(masks)
         assert masks.ndim == 3, masks.shape
-        return cls([SparseTopology.from_dense_mask(mk) for mk in masks])
+        return cls([SparseTopology.from_dense_mask(mk) for mk in masks],
+                   pad_to=pad_to)
 
     def __hash__(self):
         return id(self)

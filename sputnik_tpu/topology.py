@@ -277,9 +277,14 @@ class SparseTopology:
     def ell(self, *, lane: int = 128):
         from .blocking import build_ell  # local import to avoid cycle
 
-        if self._ell_cache is None or self._ell_cache.values_shape[1] % lane:
-            self._ell_cache = build_ell(self, lane=lane)
-        return self._ell_cache
+        # keyed by lane, like block()'s (bm, bk) cache — a divisibility
+        # check would hand a 512-lane view to a 128-lane consumer (4x
+        # wider panel) and thrash on alternating lane sizes
+        if self._ell_cache is None:
+            self._ell_cache = {}
+        if lane not in self._ell_cache:
+            self._ell_cache[lane] = build_ell(self, lane=lane)
+        return self._ell_cache[lane]
 
     def block(self, bm: int = 128, bk: int = 128):
         key = (bm, bk)

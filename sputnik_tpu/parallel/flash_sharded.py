@@ -34,11 +34,13 @@ __all__ = ["ShardedFlashSpec", "flash_attention_sharded"]
 class ShardedFlashSpec:
     """Static bundle: row partition + per-shard flash metadata, stacked."""
 
-    def __init__(self, part: RowPartition, *, heads: int = 1,
+    def __init__(self, part: RowPartition, *,
                  bm: int = 128, bk: int = 128,
                  mesh: Optional[Mesh] = None, axis: str = "sp"):
+        # NOTE: no head grouping here — every replica carries its own
+        # copy of the (single) shard topology, so the kernels run with
+        # heads=R (metadata batch 0 shared by all replicas)
         self.part = part
-        self.heads = heads
         self.mesh, self.axis = mesh, axis
         views = [s.block(bm, bk) for s in part.shards]
         self.views = views
@@ -117,7 +119,7 @@ def _t_meta_args(spec):
         spec.pmask))
 
 
-def _fwd_sharded(spec, q_sh, k, v, scale, hd):
+def _fwd_sharded(spec, q_sh, k, v):
     """q_sh [ndev, R, m_pad_loc, hd_pad] (pre-scaled+padded);
     k, v [R, n_pad, hd_pad] replicated. Returns (out, m, l) sharded."""
     R = q_sh.shape[1]
@@ -143,7 +145,7 @@ def _fwd_sharded(spec, q_sh, k, v, scale, hd):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
 def _flash_sh(spec, q_sh, k, v, scale):
     out, _, _ = _fwd_sharded(spec, *_prep(spec, q_sh, k, v, scale))
-    return out
+    return out  # _prep already applied the scale
 
 
 def _prep(spec, q_sh, k, v, scale):
@@ -156,20 +158,23 @@ def _prep(spec, q_sh, k, v, scale):
     k_p = k_p.at[:, : k.shape[1], :hd].set(k)
     v_p = jnp.zeros((R, spec.n_pad, hd_pad), v.dtype)
     v_p = v_p.at[:, : v.shape[1], :hd].set(v)
-    return q_p, k_p, v_p, scale, hd
+    return q_p, k_p, v_p
 
 
 def _flash_sh_fwd(spec, q_sh, k, v, scale):
-    q_p, k_p, v_p, _, hd = _prep(spec, q_sh, k, v, scale)
-    out, m, l = _fwd_sharded(spec, q_p, k_p, v_p, scale, hd)
-    return out, (q_sh, k, v, q_p, k_p, v_p, out, m, l)
+    q_p, k_p, v_p = _prep(spec, q_sh, k, v, scale)
+    out, m, l = _fwd_sharded(spec, q_p, k_p, v_p)
+    # residuals hold ONLY the padded copies + the unpadded shapes —
+    # saving q_sh/k/v too doubled activation memory (k/v replicated on
+    # every device) when the backward needs just their extents
+    shapes = (q_sh.shape, k.shape, v.shape)
+    return out, (shapes, q_p, k_p, v_p, out, m, l)
 
 
 def _flash_sh_bwd(spec, scale, res, g):
-    q_sh, k, v, q_p, k_p, v_p, out, m_st, l_st = res
+    (q_shape, k_shape, v_shape), q_p, k_p, v_p, out, m_st, l_st = res
     ndev, R = q_p.shape[0], q_p.shape[1]
-    hd = q_sh.shape[-1]
-    hd_pad = q_p.shape[-1]
+    hd = q_shape[-1]
     x = spec.axis
 
     g_p = g  # cotangent of the (padded) kernel output; zeros in padding
@@ -203,21 +208,24 @@ def _flash_sh_bwd(spec, scale, res, g):
             pmask[0][None], q[0], kk, vv, gg[0], st[0], dc[0],
             R=R, heads=R, kb=spec.kb, max_bpc=spec.max_bpc,
             bm=spec.bm, bk=spec.bk, interpret=_interp())
+        # after the psum every device holds the identical full dk/dv —
+        # return them replicated instead of stacking ndev copies and
+        # slicing [0] outside
         dk = jax.lax.psum(dk, spec.axis)
         dv = jax.lax.psum(dv, spec.axis)
-        return dk[None], dv[None]
+        return dk, dv
 
     dk_p, dv_p = _smap(
         spec, local_dkv,
         in_specs=(P(x), P(x), P(x), P(x), P(x), P(x),
                   P(None, None, None), P(None, None, None),
                   P(x), P(x), P(x)),
-        out_specs=(P(x), P(x)),
+        out_specs=(P(None, None, None), P(None, None, None)),
     )(*_t_meta_args(spec), q_p, k_p, v_p, g_p, stats, dcoef)
 
-    dq = dq_p[:, :, : q_sh.shape[2], :hd] * scale
-    dk = dk_p[0][:, : k.shape[1], :hd]
-    dv = dv_p[0][:, : v.shape[1], :hd]
+    dq = (dq_p[:, :, : q_shape[2], :hd] * scale).astype(q_p.dtype)
+    dk = dk_p[:, : k_shape[1], :hd].astype(k_p.dtype)
+    dv = dv_p[:, : v_shape[1], :hd].astype(v_p.dtype)
     return dq, dk, dv
 
 

@@ -125,6 +125,23 @@ def random_mask_batch(
     return np.stack(masks)
 
 
+def _analytic_topology(cls, s, starts, ends):
+    """Shared CSR assembly for the analytic builders. Offsets accumulate
+    in int64 first: cumsum with an int32 `out` wraps silently past 2^31
+    nnz (full causal hits that at s ~ 65536), and the topology layer's
+    int32 indices cannot represent such a pattern anyway — reject it."""
+    lengths = ends - starts
+    offsets64 = np.zeros(s + 1, np.int64)
+    np.cumsum(lengths, out=offsets64[1:])
+    if offsets64[-1] >= np.iinfo(np.int32).max:
+        raise ValueError(
+            f"analytic topology has {int(offsets64[-1])} nonzeros, "
+            "exceeding int32 indexing; use a banded/windowed pattern")
+    cols = np.concatenate(
+        [np.arange(a, b, dtype=np.int32) for a, b in zip(starts, ends)])
+    return cls(s, s, offsets64.astype(np.int32), cols)
+
+
 def causal_topology(s: int, *, band: Optional[int] = None):
     """Causal (optionally banded) ``SparseTopology`` built analytically in
     CSR — no dense ``[s, s]`` mask materialisation, so sequence length is
@@ -135,12 +152,7 @@ def causal_topology(s: int, *, band: Optional[int] = None):
     starts = (np.maximum(np.arange(s) - (band - 1), 0)
               if band is not None else np.zeros(s, np.int64))
     ends = np.arange(s, dtype=np.int64) + 1
-    lengths = ends - starts
-    row_offsets = np.zeros(s + 1, np.int32)
-    np.cumsum(lengths, out=row_offsets[1:])
-    cols = np.concatenate(
-        [np.arange(a, b, dtype=np.int32) for a, b in zip(starts, ends)])
-    return SparseTopology(s, s, row_offsets, cols)
+    return _analytic_topology(SparseTopology, s, starts, ends)
 
 
 def local_window_topology(s: int, window: int):
@@ -151,9 +163,4 @@ def local_window_topology(s: int, window: int):
     i = np.arange(s, dtype=np.int64)
     starts = np.maximum(i - (window - 1), 0)
     ends = np.minimum(i + window, s)
-    lengths = ends - starts
-    row_offsets = np.zeros(s + 1, np.int32)
-    np.cumsum(lengths, out=row_offsets[1:])
-    cols = np.concatenate(
-        [np.arange(a, b, dtype=np.int32) for a, b in zip(starts, ends)])
-    return SparseTopology(s, s, row_offsets, cols)
+    return _analytic_topology(SparseTopology, s, starts, ends)

@@ -137,3 +137,19 @@ class TestViews:
         # causal: lower-triangular block structure -> 10 of 16 blocks
         assert blk.num_blocks == 10
         assert blk.block_density == pytest.approx(10 / 16)
+
+
+def test_analytic_topology_rejects_int32_overflow():
+    """cumsum into an int32 out-array wraps silently past 2^31 nnz; the
+    analytic builders must raise instead of returning corrupt offsets."""
+    import pytest
+
+    from sputnik_tpu.patterns import causal_topology, local_window_topology
+
+    with pytest.raises(ValueError, match="int32"):
+        causal_topology(70000)                # nnz ~ 2.45e9
+    # banded/windowed patterns of the same length stay fine
+    t = causal_topology(70000, band=64)
+    assert t.nnz == sum(min(i + 1, 64) for i in range(70000))
+    t2 = local_window_topology(70000, 32)
+    assert t2.m == 70000

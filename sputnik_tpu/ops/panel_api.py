@@ -93,19 +93,22 @@ def _view(topo, bm, bk, compressed=False):
 
 def values_to_panel_np(topo, values: np.ndarray, bm: int, bk: int,
                        *, compressed: bool = False):
-    """Host-side CSR values -> panel (module init / checkpoint import)."""
+    """Host-side CSR values -> panel (module init / checkpoint import).
+    Dtype-preserving (bf16 serving params stay bf16)."""
     bv = _view(topo, bm, bk, compressed)
-    flat = np.zeros(bv.dump + 1, dtype=np.float32)
-    flat[bv.scatter_idx] = np.asarray(values, np.float32)
+    values = np.asarray(values)
+    flat = np.zeros(bv.dump + 1, dtype=values.dtype)
+    flat[bv.scatter_idx] = values
     return flat[: bv.dump].reshape(bv.values_shape)
 
 
 def panel_to_values_np(topo, panel: np.ndarray, bm: int, bk: int,
                        *, compressed: bool = False):
-    """Host-side panel -> CSR values (checkpoint export)."""
+    """Host-side panel -> CSR values (checkpoint export). Dtype-preserving."""
     bv = _view(topo, bm, bk, compressed)
+    panel = np.asarray(panel)
     flat = np.concatenate(
-        [np.asarray(panel, np.float32).reshape(-1), np.zeros(1, np.float32)]
+        [panel.reshape(-1), np.zeros(1, panel.dtype)]
     )
     return flat[np.minimum(bv.gather_idx, bv.dump)]
 

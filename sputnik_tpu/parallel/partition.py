@@ -19,13 +19,9 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..topology import SparseTopology
+from ..topology import SparseTopology, _round_up
 
 __all__ = ["RowPartition"]
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 class RowPartition:
@@ -98,9 +94,17 @@ class RowPartition:
         implementation of the repeat-pad/DMA-skip convention)."""
         from ..blocking import stack_block_meta
 
-        views = [s.block(bm, bk) for s in self.shards]
-        meta = stack_block_meta(views)
-        return meta["block_cols"], meta["nblocks"], meta["max_bpr"], views
+        key = (bm, bk)
+        cached = getattr(self, "_stacked_meta_cache", None)
+        if cached is None:
+            cached = {}
+            self._stacked_meta_cache = cached
+        if key not in cached:
+            views = [s.block(bm, bk) for s in self.shards]
+            meta = stack_block_meta(views)
+            cached[key] = (meta["block_cols"], meta["nblocks"],
+                           meta["max_bpr"], views)
+        return cached[key]
 
     def stacked_panel(self, values: np.ndarray, bm: int, bk: int,
                       max_bpr: Optional[int] = None) -> np.ndarray:
@@ -109,23 +113,23 @@ class RowPartition:
         from ..ops.panel_api import values_to_panel_np
 
         topo, ro = self.topo, self.topo.row_offsets
+        values = np.asarray(values)  # dtype-preserving (bf16 streams)
         if max_bpr is None:
             _, _, max_bpr, _ = self.stacked_block_meta(bm, bk)
         panels = []
         for d, shard in enumerate(self.shards):
             rows = self.perm[d * self.m_loc: (d + 1) * self.m_loc]
             vals = np.concatenate(
-                [np.asarray(values)[ro[r]: ro[r + 1]]
-                 for r in rows if r < topo.m]
-                or [np.zeros(0, np.float32)]
+                [values[ro[r]: ro[r + 1]] for r in rows if r < topo.m]
+                or [np.zeros(0, values.dtype)]
             )
-            v = np.zeros(shard.nnz_pad, np.float32)
+            v = np.zeros(shard.nnz_pad, values.dtype)
             v[: len(vals)] = vals
             p = values_to_panel_np(shard, v, bm, bk)
             mb, bpr = p.shape[0], p.shape[1]
             if bpr < max_bpr:
                 p = np.concatenate(
-                    [p, np.zeros((mb, max_bpr - bpr, bm, bk), np.float32)],
+                    [p, np.zeros((mb, max_bpr - bpr, bm, bk), p.dtype)],
                     axis=1,
                 )
             panels.append(p)

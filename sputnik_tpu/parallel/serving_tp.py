@@ -241,52 +241,54 @@ class TPDecoder:
         return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
                              out_specs=out_specs)
 
-    def prefill(self, sparams, x, caches):
-        """Prompt pass on every shard's local heads; fills local caches.
-        ``x [b, T, h]`` replicated; returns ``(y [b, T, h], caches)``."""
+    def _tp_call(self, method, sparams, x, caches, y_batch_dim=0,
+                 **kwargs):
+        """Run one local-decoder step method under the tp shard_map: the
+        sharded runtime IS the single-chip runtime plus the per-layer
+        psum reduce_fn (the only wrapper all four steps share)."""
         red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
 
         def f(sp, x_, cs):
-            y, cs = self._ld.prefill(self._local_params(sp), x_, cs,
-                                     reduce_fn=red)
-            return y, cs
+            return method(self._local_params(sp), x_, cs,
+                          reduce_fn=red, **kwargs)
 
-        return self._shard(f, sparams, caches, 1)(sparams, x, caches)
+        return self._shard(f, sparams, caches, 1,
+                           y_batch_dim=y_batch_dim)(sparams, x, caches)
+
+    def prefill(self, sparams, x, caches):
+        """Prompt pass on every shard's local heads; fills local caches.
+        ``x [b, T, h]`` replicated; returns ``(y [b, T, h], caches)``."""
+        return self._tp_call(self._ld.prefill, sparams, x, caches)
 
     def decode_step(self, sparams, x_tok, caches):
+        return self._tp_call(self._ld.decode_step, sparams, x_tok, caches)
+
+    def decode_step_ragged(self, sparams, x_tok, caches, active=None):
+        """Continuous-batching step, tensor-parallel. See
+        ``SparseDecoder.decode_step_ragged``. ``active`` (bool ``[b]``)
+        shards like an activation (over dp, replicated over tp)."""
+        if active is None:
+            return self._tp_call(self._ld.decode_step_ragged, sparams,
+                                 x_tok, caches)
         red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
 
-        def f(sp, t_, cs):
-            y, cs = self._ld.decode_step(self._local_params(sp), t_, cs,
-                                         reduce_fn=red)
-            return y, cs
+        def f(sp, x_, act_, cs):
+            return self._ld.decode_step_ragged(
+                self._local_params(sp), x_, cs, act_, reduce_fn=red)
 
-        return self._shard(f, sparams, caches, 1)(sparams, x_tok, caches)
+        return self._shard(f, sparams, caches, 2)(
+            sparams, x_tok, jnp.asarray(active), caches)
 
     def decode_multi(self, sparams, x_toks, caches):
         """Speculative verification step (q draft tokens at once),
         tensor-parallel. See ``SparseDecoder.decode_multi``."""
-        red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
-
-        def f(sp, t_, cs):
-            y, cs = self._ld.decode_multi(self._local_params(sp), t_, cs,
-                                          reduce_fn=red)
-            return y, cs
-
-        return self._shard(f, sparams, caches, 1)(sparams, x_toks, caches)
+        return self._tp_call(self._ld.decode_multi, sparams, x_toks, caches)
 
     def decode_loop(self, sparams, x_tok, caches, n_tokens: int,
                     next_input=None):
         """N tokens inside one jit + one shard_map (a ``lax.scan`` whose
-        body costs 2 psums/layer)."""
-        red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
-
-        def f(sp, t_, cs):
-            ys, cs = self._ld.decode_loop(
-                self._local_params(sp), t_, cs, n_tokens,
-                next_input=next_input, reduce_fn=red)
-            return ys, cs
-
-        # ys stacks tokens on dim 0: batch lives on dim 1
-        return self._shard(f, sparams, caches, 1, y_batch_dim=1)(
-            sparams, x_tok, caches)
+        body costs 2 psums/layer). ys stacks tokens on dim 0: batch
+        lives on dim 1."""
+        return self._tp_call(self._ld.decode_loop, sparams, x_tok, caches,
+                             y_batch_dim=1, n_tokens=n_tokens,
+                             next_input=next_input)

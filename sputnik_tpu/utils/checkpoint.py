@@ -46,7 +46,7 @@ def export_csr(layer, values_param) -> dict:
     t = layer.topology
     from ..ops import panel_api as P
 
-    vp = np.asarray(values_param, np.float32)
+    vp = np.asarray(values_param)  # dtype-preserving (bf16 serving)
     if layer.layout == "panel":
         spec = layer.spec()
         vals = P.panel_to_values_np(t, vp, spec.bm, spec.bk)
@@ -73,8 +73,9 @@ def import_csr(layer, blob: dict):
             not np.array_equal(np.asarray(blob["column_indices"]),
                                t.column_indices[: t.nnz]):
         raise ValueError("topology mismatch between checkpoint and layer")
-    vals = np.zeros(t.nnz_pad, np.float32)
-    vals[: t.nnz] = np.asarray(blob["values"], np.float32)
+    stored = np.asarray(blob["values"])
+    vals = np.zeros(t.nnz_pad, stored.dtype)
+    vals[: t.nnz] = stored
     if layer.layout == "panel":
         from ..ops import panel_api as P
 

@@ -157,3 +157,37 @@ def test_tp_rejects_bad_divisibility():
     model_gqa = _build(2, 16, 32, 4, kv=2)
     with pytest.raises(ValueError, match="num_kv_heads"):
         TPDecoder(model_gqa, _mesh(4), s_max=24, bk=8)
+
+
+def test_tp_ragged_decode_matches_single_device():
+    """decode_step_ragged under tp sharding: ragged lengths + an active
+    freeze mask must reproduce the single-device ragged runtime."""
+    b, P, h, heads, tp = 2, 16, 32, 4, 2
+    model = _build(b, P, h, heads)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, P, h).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(3), x)
+    toks = jnp.asarray(rng.randn(2, b, 1, h).astype(np.float32) * 0.3)
+    act = jnp.asarray(np.array([True, False]))
+
+    dec = SparseDecoder(model, s_max=24, bk=8, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    _, caches = dec.prefill(params, x, caches)
+    y1, caches = dec.decode_step_ragged(params, toks[0], caches, act)
+    y2, caches = dec.decode_step_ragged(params, toks[1], caches)
+
+    tpd = TPDecoder(model, _mesh(tp), s_max=24, bk=8,
+                    cache_dtype=jnp.float32)
+    sparams = tpd.shard_params(params)
+    tc = tpd.init_caches(b)
+    _, tc = jax.jit(tpd.prefill)(sparams, x, tc)
+    t1, tc = jax.jit(tpd.decode_step_ragged)(sparams, toks[0], tc, act)
+    t2, tc = jax.jit(tpd.decode_step_ragged)(sparams, toks[1], tc)
+
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(y1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(y2),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(tc[0].kv_len)),
+        np.sort(np.asarray(caches[0].kv_len)))

@@ -2,9 +2,8 @@
 
 Each example supports ``--small`` and self-checks its own semantics
 (generate verifies decode against the full forward on CPU;
-serve_continuous asserts every queued request completes). Heavy
-examples (train, int8 serve) are exercised indirectly by the op/model
-tests; the two serving-loop examples run here end to end.
+serve_continuous asserts every queued request completes; train asserts
+the loss decreases; int8 serve checks the W8A8 relative error).
 """
 
 import os
@@ -14,11 +13,16 @@ import sys
 import pytest
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EXAMPLES = [os.path.join(_ROOT, "examples", f)
-            for f in ("generate.py", "serve_continuous.py")]
+EXAMPLES = [
+    ("generate.py", ["--small"]),
+    ("serve_continuous.py", ["--small"]),
+    ("serve_sparse_int8.py", ["--small"]),
+    ("train_sparse_transformer.py", ["--small", "--steps", "3"]),
+]
 
 
-@pytest.mark.parametrize("path", EXAMPLES)
-def test_example_runs_small(path, monkeypatch):
-    monkeypatch.setattr(sys, "argv", [path.split("/")[-1], "--small"])
+@pytest.mark.parametrize("name,args", EXAMPLES)
+def test_example_runs_small(name, args, monkeypatch):
+    path = os.path.join(_ROOT, "examples", name)
+    monkeypatch.setattr(sys, "argv", [name] + args)
     runpy.run_path(path, run_name="__main__")

@@ -11,11 +11,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import pytest
 
 import sputnik_tpu as st
 from sputnik_tpu.models import (
-    MLP,
     SparseAttention,
     SparseLinear,
     SparseTransformer,

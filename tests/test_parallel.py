@@ -16,7 +16,6 @@ import sputnik_tpu as st
 from sputnik_tpu.parallel import RowPartition
 from sputnik_tpu.parallel.sharded_ops import (
     ShardedPanelSpec,
-    sharded_sddmm,
     sharded_softmax,
     sharded_spmm,
     sharded_spmm_t,

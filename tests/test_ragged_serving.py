@@ -7,7 +7,6 @@ through freezes (``active`` mask) and through ``insert_kv_slot``
 admission of a fresh sequence into a retired slot.
 """
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import sputnik_tpu as st
 from sputnik_tpu.parallel import RowPartition
 from sputnik_tpu.parallel.sharded_compressed import (
     ShardedCompressedSpec,
-    sharded_sddmm_c,
     sharded_softmax_c,
     sharded_spmm_c,
     sharded_spmm_t_c,

@@ -94,3 +94,37 @@ def test_orbax_restore_sharded(tmp_path):
     assert restored["w"].sharding == like["w"].sharding
     np.testing.assert_allclose(np.asarray(restored["w"]), tree["w"])
     np.testing.assert_allclose(np.asarray(restored["b"]), tree["b"])
+
+
+def test_csr_export_import_preserves_dtype():
+    """bf16 serving params must round-trip bf16 (forcing f32 doubled
+    decode weight traffic and changed the jit signature on restore)."""
+    import jax.numpy as jnp
+
+    from sputnik_tpu.models.linear import SparseLinear
+    from sputnik_tpu.utils.checkpoint import export_csr, import_csr
+
+    rng = np.random.RandomState(11)
+    W = ((rng.rand(32, 48) < 0.4) * rng.randn(32, 48)).astype(np.float32)
+    layer = SparseLinear.from_mask(W != 0)
+    vals16 = jnp.asarray(layer.pack_dense(W), jnp.bfloat16)
+    blob = export_csr(layer, vals16)
+    assert np.asarray(blob["values"]).dtype == np.asarray(vals16).dtype
+    back = import_csr(layer, blob)
+    assert back.dtype == np.asarray(vals16).dtype
+    np.testing.assert_array_equal(np.asarray(back),
+                                  np.asarray(vals16))
+
+
+def test_stacked_panel_preserves_dtype():
+    import jax.numpy as jnp
+    import sputnik_tpu as st
+    from sputnik_tpu.parallel import RowPartition
+
+    rng = np.random.RandomState(12)
+    A = ((rng.rand(64, 64) < 0.3) * rng.randn(64, 64)).astype(np.float32)
+    mat = st.SparseMatrix(A)
+    part = RowPartition(mat.topology, 2, bm=16)
+    vals16 = np.asarray(jnp.asarray(mat.values, jnp.bfloat16))
+    panels = part.stacked_panel(vals16, 16, 16)
+    assert panels.dtype == vals16.dtype

@@ -338,40 +338,35 @@ class SparseDecoder:
         its own block table, so sequences admitted at different times
         (``ops.decode.insert_kv_slot``) batch together. ``active``
         (bool ``[b]``, optional) freezes finished slots: their token is
-        still computed (static shapes) and written at ``kv_len`` — but
-        ``kv_len`` does not advance, so the next real append overwrites
-        it and the frozen slot's cache is untouched by construction.
+        still computed (static shapes) but NOT written — the frozen
+        slot's cache and ``kv_len`` are untouched by construction
+        (``append_kv``'s write-enable mask).
 
-        Cost note: the per-replica append lowers to a TPU scatter
-        (~3.6 ms/token of pure cache copy on the 6-layer benchmark
-        model vs ~0 for ``decode_step``'s aliasable scalar-position
-        update — see ``append_kv``). Use this step only while the batch
-        is genuinely ragged; a fully-synchronised batch should run
-        ``decode_step``.
+        The per-slot write runs the ragged-append Pallas kernel
+        (``ops/pallas/ragged_append.py``): scalar-prefetched positions
+        drive the block index maps, so each replica moves one 32-row
+        cache block instead of the naive ``vmap(dynamic_update_slice)``
+        scatter (measured ~3.6 ms/token of pure cache copy on the
+        6-layer benchmark model).
 
-        Capacity: no slot (active OR frozen) may sit at ``kv_len ==
-        s_max`` when this runs — the shape-uniform write clamps to the
-        last position and would overwrite that slot's final real token.
-        Admit/evict slots at capacity first."""
+        Capacity is enforced: a slot at ``kv_len == s_max`` keeps its
+        cache bit-identical and its length pinned (no clamped-write
+        corruption) — but it also gains no new context, so its outputs
+        stop being meaningful. Evict or rotate full slots
+        (``insert_kv_slot``)."""
         act_r = None
         if active is not None:
             act_r = jnp.repeat(jnp.asarray(active).astype(jnp.int32),
                                self.kv_heads)
-        kv_len1 = caches[0].kv_len + (act_r if act_r is not None else 1)
+        adv = act_r if act_r is not None else 1
+        kv_len1 = jnp.minimum(caches[0].kv_len + adv, self.s_max)
         tbl, valid = decode_block_table(
             kv_len1, s_max=self.s_max, bk=self.bk,
             window_blocks=self.window_blocks,
             sink_blocks=self.sink_blocks)
 
         def append(cache, k3, v3):
-            cache = append_kv(cache, k3[:, 0], v3[:, 0])  # per-replica pos
-            if act_r is None:
-                return cache
-            # frozen slots: appended above for shape uniformity, but the
-            # length must not advance (the write at the old kv_len gets
-            # overwritten on resume/admission)
-            return KVCache(k=cache.k, v=cache.v, kv_len=kv_len1,
-                           k_scale=cache.k_scale, v_scale=cache.v_scale)
+            return append_kv(cache, k3[:, 0], v3[:, 0], active=act_r)
 
         return self._decode_layers(params, x_tok, caches, append,
                                    tbl, valid, 1, reduce_fn)

@@ -31,6 +31,7 @@ import numpy as np
 
 from . import _common
 from ._common import round_up
+from .pallas import ragged_append as _ragged_append
 from .pallas.decode_attention import QPAD, decode_attention_kernel
 
 __all__ = [
@@ -84,7 +85,8 @@ def _quantize_token(x):
     return q, scale
 
 
-def append_kv(cache: KVCache, k_new, v_new, pos=None) -> KVCache:
+def append_kv(cache: KVCache, k_new, v_new, pos=None,
+              active=None) -> KVCache:
     """Append one token per replica. ``k_new``/``v_new``: ``[R_kv, hd]``
     (hd <= hd_pad; padded with zeros). Functional: returns a new cache.
 
@@ -92,10 +94,21 @@ def append_kv(cache: KVCache, k_new, v_new, pos=None) -> KVCache:
     (the common serving case — every sequence in the batch is at the same
     length). With ``pos`` the update is ONE scalar-indexed
     ``dynamic_update_slice`` that XLA aliases in place inside a decode
-    scan. Without it, the per-replica ``kv_len`` offsets force a vmapped
-    DUS that lowers to a TPU scatter — measured ~3.6 ms/token of pure
-    cache-copy on a 6-layer model (benchmarks/RESULTS.md) vs ~0 for the
-    scalar path. Keep the ragged path only for genuinely ragged batches.
+    scan. Without it, each replica writes at its own ``kv_len`` through a
+    Pallas kernel whose scalar-prefetched positions drive the block index
+    maps (``pallas/ragged_append.py``) — the naive
+    ``vmap(dynamic_update_slice)`` lowers to a TPU scatter measured at
+    ~3.6 ms/token of pure cache copy on a 6-layer model
+    (benchmarks/RESULTS.md).
+
+    ``active`` (ragged path only): optional per-replica i32/bool ``[R_kv]``
+    write-enable — frozen continuous-batching slots neither write nor
+    advance ``kv_len``.
+
+    Capacity is ENFORCED on every path: a replica at ``kv_len == s_max``
+    (or a shared ``pos == s_max``) keeps its cache bit-identical and its
+    length pinned at ``s_max`` — a full slot's last real token can never
+    be overwritten by the clamped write position.
     """
     R, s_max, hd_pad = cache.k.shape
     kp = jnp.zeros((R, hd_pad), jnp.float32)
@@ -111,31 +124,69 @@ def append_kv(cache: KVCache, k_new, v_new, pos=None) -> KVCache:
         ks = vs = jnp.ones((R,), jnp.float32)
 
     if pos is not None:
+        if active is not None:
+            raise ValueError("active mask requires the ragged path "
+                             "(pos=None); a uniform batch freezes no slots")
         z = jnp.int32(0)
-        p = jnp.asarray(pos, jnp.int32)
+        p_raw = jnp.asarray(pos, jnp.int32)
+        p = jnp.minimum(p_raw, s_max - 1)
+        fits = p_raw < s_max
+
+        def guard(tok, buf, width):
+            # at capacity: write the existing contents back (net no-op);
+            # a [R, 1, hd_pad] read is noise next to the step's traffic
+            old = jax.lax.dynamic_slice(
+                buf, (z, p) + (z,) * (buf.ndim - 2), (R, 1) + width)
+            return jnp.where(fits, tok, old.astype(tok.dtype))
+
+        kq_w = guard(kq[:, None], cache.k, (hd_pad,))
+        vq_w = guard(vq[:, None], cache.v, (hd_pad,))
+        ks_w = guard(ks[:, None], cache.k_scale, ())
+        vs_w = guard(vs[:, None], cache.v_scale, ())
         return KVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, kq[:, None], (z, p, z)),
-            v=jax.lax.dynamic_update_slice(cache.v, vq[:, None], (z, p, z)),
-            kv_len=cache.kv_len + 1,
+            k=jax.lax.dynamic_update_slice(cache.k, kq_w, (z, p, z)),
+            v=jax.lax.dynamic_update_slice(cache.v, vq_w, (z, p, z)),
+            kv_len=jnp.minimum(cache.kv_len + 1, s_max),
             k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, ks[:, None], (z, p)),
+                cache.k_scale, ks_w, (z, p)),
             v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, vs[:, None], (z, p)),
+                cache.v_scale, vs_w, (z, p)),
         )
 
-    def upd(buf, tok, ln):
-        return jax.lax.dynamic_update_slice(
-            buf, tok[None], (ln, jnp.int32(0)))
+    ok = (jnp.ones((R,), jnp.int32) if active is None
+          else jnp.asarray(active).astype(jnp.int32))
+    adv = ok * (cache.kv_len < s_max).astype(jnp.int32)
+    new_len = cache.kv_len + adv
 
-    def upd_s(buf, s, ln):
-        return jax.lax.dynamic_update_slice(buf, s[None], (ln,))
+    if _common.use_kernels() and s_max % 128 == 0:
+        k2, v2, ks2, vs2 = _ragged_append.ragged_append_kernel(
+            cache.kv_len, ok, kq, vq,
+            jnp.broadcast_to(ks[:, None], (R, 128)),
+            jnp.broadcast_to(vs[:, None], (R, 128)),
+            cache.k, cache.v, cache.k_scale, cache.v_scale,
+            interpret=_common.interp())
+        return KVCache(k=k2, v=v2, kv_len=new_len,
+                       k_scale=ks2, v_scale=vs2)
+
+    def upd(buf, tok, ln, okr):
+        p = jnp.minimum(ln, s_max - 1)
+        old = jax.lax.dynamic_slice(buf, (p, jnp.int32(0)), (1, hd_pad))
+        tok = jnp.where((ln < s_max) & (okr == 1), tok[None],
+                        old.astype(tok.dtype))
+        return jax.lax.dynamic_update_slice(buf, tok, (p, jnp.int32(0)))
+
+    def upd_s(buf, sc, ln, okr):
+        p = jnp.minimum(ln, s_max - 1)
+        old = jax.lax.dynamic_slice(buf, (p,), (1,))
+        sc = jnp.where((ln < s_max) & (okr == 1), sc[None], old)
+        return jax.lax.dynamic_update_slice(buf, sc, (p,))
 
     return KVCache(
-        k=jax.vmap(upd)(cache.k, kq, cache.kv_len),
-        v=jax.vmap(upd)(cache.v, vq, cache.kv_len),
-        kv_len=cache.kv_len + 1,
-        k_scale=jax.vmap(upd_s)(cache.k_scale, ks, cache.kv_len),
-        v_scale=jax.vmap(upd_s)(cache.v_scale, vs, cache.kv_len),
+        k=jax.vmap(upd)(cache.k, kq, cache.kv_len, ok),
+        v=jax.vmap(upd)(cache.v, vq, cache.kv_len, ok),
+        kv_len=new_len,
+        k_scale=jax.vmap(upd_s)(cache.k_scale, ks, cache.kv_len, ok),
+        v_scale=jax.vmap(upd_s)(cache.v_scale, vs, cache.kv_len, ok),
     )
 
 
@@ -143,7 +194,10 @@ def append_kv_seq(cache: KVCache, k_new, v_new, pos) -> KVCache:
     """Append ``q`` tokens per replica at the shared scalar position
     ``pos`` (speculative decode: the draft's q tokens land in the cache
     in ONE aliasable ``dynamic_update_slice``). ``k_new``/``v_new``:
-    ``[R_kv, q, hd]`` (hd <= hd_pad)."""
+    ``[R_kv, q, hd]`` (hd <= hd_pad). Capacity-guarded like ``append_kv``:
+    if the q tokens don't all fit below ``s_max`` the cache stays
+    bit-identical and ``kv_len`` does not advance (all-or-nothing — a
+    partial draft write would desync rollback)."""
     R, s_max, hd_pad = cache.k.shape
     q = k_new.shape[1]
     kp = jnp.zeros((R, q, hd_pad), jnp.float32)
@@ -159,13 +213,25 @@ def append_kv_seq(cache: KVCache, k_new, v_new, pos) -> KVCache:
         ks = vs = jnp.ones((R, q), jnp.float32)
 
     z = jnp.int32(0)
-    p = jnp.asarray(pos, jnp.int32)
+    p_raw = jnp.asarray(pos, jnp.int32)
+    p = jnp.minimum(p_raw, s_max - q)
+    fits = p_raw <= s_max - q
+
+    def guard(tok, buf):
+        old = jax.lax.dynamic_slice(
+            buf, (z, p) + (z,) * (buf.ndim - 2), (R, q) + buf.shape[2:])
+        return jnp.where(fits, tok, old.astype(tok.dtype))
+
     return KVCache(
-        k=jax.lax.dynamic_update_slice(cache.k, kq, (z, p, z)),
-        v=jax.lax.dynamic_update_slice(cache.v, vq, (z, p, z)),
-        kv_len=cache.kv_len + q,
-        k_scale=jax.lax.dynamic_update_slice(cache.k_scale, ks, (z, p)),
-        v_scale=jax.lax.dynamic_update_slice(cache.v_scale, vs, (z, p)),
+        k=jax.lax.dynamic_update_slice(cache.k, guard(kq, cache.k),
+                                       (z, p, z)),
+        v=jax.lax.dynamic_update_slice(cache.v, guard(vq, cache.v),
+                                       (z, p, z)),
+        kv_len=jnp.where(fits, cache.kv_len + q, cache.kv_len),
+        k_scale=jax.lax.dynamic_update_slice(
+            cache.k_scale, guard(ks, cache.k_scale), (z, p)),
+        v_scale=jax.lax.dynamic_update_slice(
+            cache.v_scale, guard(vs, cache.v_scale), (z, p)),
     )
 
 

@@ -1,4 +1,4 @@
-"""Backend dispatch for the Pallas block-CSR kernels.
+"""Backend dispatch for the flat-CSR (reference-parity) op surface.
 
 Policy: the Pallas path is the production path on real TPUs; the XLA oracle
 (`ops/xla_ops.py`) remains the default elsewhere (CPU tests run the kernels
@@ -10,75 +10,139 @@ oracle.
 Large topologies are routed to Pallas even under "auto" on TPU because the
 oracle's gather formulation materialises ``[nnz_pad, n]`` intermediates —
 fine at test sizes, impossible at the benchmark's 4096^3 (27 GB).
+
+Flat-call economics (r2 verdict #2): the reference's calling convention
+passes CSR-ordered ``values[nnz]`` per call, but the kernels consume the MXU
+block panel — and a 16.7M-element values->panel scatter costs ~12 ms on TPU
+(benchmarks/RESULTS.md). Two fixes live here:
+
+  * ONE tile-heuristic source: the flat path builds a ``PanelSpec`` (so
+    ``panel_api.default_block`` + the bn heuristic govern both APIs; the
+    stale local (512,512,512) table is gone), cached on the topology's
+    block view.
+  * a cross-call panel cache: eager flat calls (the reference-parity usage —
+    torch ops are eager) with the SAME values array re-pay nothing; the
+    scatter runs once per distinct values buffer. Keyed by object identity
+    with a strong reference held in a small FIFO (an id can't be recycled
+    while its object is alive), so repeated ``st.spmm(topo, w, x)`` over a
+    fixed weight vector runs at panel speed. Traced values (inside a user
+    ``jit``) can't be cached — the scatter stays in the trace, where XLA
+    CSE's it across calls within one program instead.
 """
 
 from __future__ import annotations
 
-import os
+from collections import OrderedDict
 
 import jax
+import jax.numpy as jnp
 
-from . import bsr_sddmm, bsr_spmm, ell_softmax
+from .. import _common
 
 __all__ = ["supported", "spmm", "sddmm", "sparse_softmax", "spmm_bias_relu"]
 
-
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+_PANEL_CACHE_SLOTS = 8
 
 
 def _interpret() -> bool:
-    return not _on_tpu()
+    return not _common.on_tpu()
 
 
 def supported(topo) -> bool:
     """Whether the Pallas path should serve this topology under "auto"."""
-    if not _on_tpu():
+    if not _common.on_tpu():
         return False
     # Everything is supported via padding; tiny topologies stay on the
     # oracle (padding to 128x128 tiles would dominate).
     return topo.m * topo.n >= 128 * 128
 
 
-def _tiles(topo):
-    """Tile-size heuristic: bigger output tiles amortise HBM traffic on big
-    shapes; 128 everywhere is the safe default.
+def _flat_spec(topo):
+    """The flat API's PanelSpec — default tiles from ``panel_api``
+    (single heuristic source), cached on the topology's block view
+    (the topology itself is __slots__-only)."""
+    from .. import panel_api as P
 
-    Dense-fallback question (r1 VERDICT): measured on v5e at occupancy
-    1.0, the scratch-acc bf16-streamed BSR kernel runs at parity with
-    XLA's dense bf16 matmul on the same contraction (0.71-0.84 ms vs
-    0.69-0.73 at 4096^3 — within ambient noise), and a 4-D ``dot_general``
-    straight off the panel is no faster (0.76-0.81). So no dense fallback
-    path is needed; the kernel IS the dense speed of light when every
-    tile is occupied, and strictly faster below that."""
-    bn = int(os.environ.get("SPUTNIK_TPU_BN", 0))
-    if bn:
-        return 128, 128, bn
-    if topo.m >= 2048 and topo.n >= 2048:
-        return 512, 512, 512  # measured balanced tiles (RESULTS.md)
-    return 128, 128, 128
+    bm, bk = P.default_block(topo)
+    bv = topo.block(bm, bk)
+    spec = getattr(bv, "_flat_spec", None)
+    if spec is None:
+        spec = P.PanelSpec(topo, bm=bm, bk=bk)
+        object.__setattr__(bv, "_flat_spec", spec)
+    return spec
+
+
+# id(values) -> (values, panel). Holding the values array strongly keeps its
+# id from being recycled; FIFO eviction bounds the held memory to
+# _PANEL_CACHE_SLOTS value/panel pairs.
+_panel_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+
+def _values_panel(spec, values):
+    """values[nnz] -> panel, cached across eager calls per values buffer."""
+    from .. import panel_api as P
+
+    # cache only immutable device arrays outside any trace (a traced value
+    # has no stable identity; a numpy array can be mutated in place)
+    if not _common.trace_clean() or not isinstance(values, jax.Array):
+        return P.values_to_panel(spec.topo, values, spec.bm, spec.bk)
+    key = (id(spec), id(values))
+    hit = _panel_cache.get(key)
+    if hit is not None and hit[0] is values:
+        _panel_cache.move_to_end(key)
+        return hit[1]
+    panel = P.values_to_panel(spec.topo, values, spec.bm, spec.bk)
+    _panel_cache[key] = (values, panel)
+    while len(_panel_cache) > _PANEL_CACHE_SLOTS:
+        _panel_cache.popitem(last=False)
+    return panel
+
+
+def _stream_dtype(spec, values, dense):
+    """bf16 operand streaming on real TPU at scale: halves HBM traffic and
+    is numerically identical to the default-precision f32 matmul (the MXU
+    truncates f32 operands to bf16 passes anyway). Off-TPU (interpret-mode
+    tests) operands keep their dtype so kernel-vs-oracle comparisons stay
+    exact."""
+    t = spec.topo
+    if (_common.on_tpu() and t.m >= 2048 and t.n >= 2048
+            and values.dtype == jnp.float32):
+        return values.astype(jnp.bfloat16), dense.astype(jnp.bfloat16)
+    return values, dense
 
 
 def spmm(topo, values, dense):
-    bm, bk, bn = _tiles(topo)
-    return bsr_spmm.bsr_spmm(
-        topo, values, dense, bm=bm, bk=bk, bn=bn, interpret=_interpret()
-    )
+    from .. import panel_api as P
+
+    spec = _flat_spec(topo)
+    out_dt = jnp.promote_types(values.dtype, dense.dtype)
+    values, dense = _stream_dtype(spec, values, dense)
+    panel = _values_panel(spec, values)
+    return P._spmm_impl(spec, panel, dense).astype(out_dt)
 
 
 def spmm_bias_relu(topo, values, dense, bias, *, relu: bool = True):
-    bm, bk, bn = _tiles(topo)
-    return bsr_spmm.bsr_spmm(
-        topo, values, dense, bias,
-        bm=bm, bk=bk, bn=bn,
-        epilogue="bias_relu" if relu else "bias",
-        interpret=_interpret(),
-    )
+    from .. import panel_api as P
+
+    spec = _flat_spec(topo)
+    out_dt = jnp.promote_types(values.dtype, dense.dtype)
+    values, dense = _stream_dtype(spec, values, dense)
+    panel = _values_panel(spec, values)
+    out = P._spmm_impl(spec, panel, dense, bias,
+                       epilogue="bias_relu" if relu else "bias")
+    return out.astype(out_dt)
 
 
 def sddmm(topo, lhs, rhs):
+    # stays on 128-tiles: the flat contract returns CSR-ordered values, so
+    # the panel->flat gather at the boundary (not the tile choice) bounds
+    # this path at scale; panel-native callers use panel_api.sddmm.
+    from . import bsr_sddmm
+
     return bsr_sddmm.bsr_sddmm(topo, lhs, rhs, interpret=_interpret())
 
 
 def sparse_softmax(topo, values):
+    from . import ell_softmax
+
     return ell_softmax.ell_softmax(topo, values, interpret=_interpret())

@@ -400,3 +400,37 @@ def test_int8_qat_bf16_primals_grad_dtypes():
                              backward="int8").astype(jnp.float32)),
         argnums=(0, 1, 2))(q, q + 1, q - 1)
     assert dq.dtype == dk.dtype == dv.dtype == jnp.bfloat16
+
+
+def test_flat_dispatch_panel_cache():
+    """Eager flat calls reuse the values->panel conversion per values
+    buffer; a DIFFERENT values array must not hit the stale entry, and a
+    jitted call (traced values) must bypass the cache entirely."""
+    from sputnik_tpu.ops import xla_ops
+    from sputnik_tpu.ops.pallas import dispatch
+
+    rng = np.random.RandomState(7)
+    topo, vals = _random_topo(rng, 72, 64, 0.5)
+    dense = jnp.asarray(rng.randn(64, 40).astype(np.float32))
+    ref = xla_ops.spmm(vals, topo.column_indices, topo.row_ids,
+                       topo.m, dense)
+
+    st.set_backend("pallas")
+    try:
+        dispatch._panel_cache.clear()
+        out1 = st.spmm(topo, vals, dense)
+        assert len(dispatch._panel_cache) == 1
+        out2 = st.spmm(topo, vals, dense)          # cache hit
+        assert len(dispatch._panel_cache) == 1
+        vals2 = vals * 2.0
+        out3 = st.spmm(topo, vals2, dense)         # distinct buffer: miss
+        assert len(dispatch._panel_cache) == 2
+        outj = jax.jit(lambda v, d: st.spmm(topo, v, d))(vals, dense)
+    finally:
+        st.set_backend("auto")
+        dispatch._panel_cache.clear()
+
+    np.testing.assert_allclose(out1, ref, atol=1e-4)
+    np.testing.assert_allclose(out2, ref, atol=1e-4)
+    np.testing.assert_allclose(out3, 2.0 * np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(outj, ref, atol=1e-4)

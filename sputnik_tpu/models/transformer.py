@@ -108,30 +108,36 @@ class SparseCoreAttention(nn.Module):
         (grouped-query) KV heads dividing ``heads`` -> ``[b, s, h]``."""
         mt = self.mask_topology
         b, s, h, hd = q.shape
-        if k.shape[2] != h:
-            kv = k.shape[2]
-            if kv == 0 or h % kv:
-                raise ValueError(f"kv heads {kv} must divide heads {h}")
-            # GQA: training-path attention runs at full heads (the win is
-            # parameter/KV-cache size; the decode kernel groups natively).
-            k = jnp.repeat(k, h // kv, axis=2)
-            v = jnp.repeat(v, h // kv, axis=2)
         if b != mt.b:
             raise ValueError(f"batch {b} != mask batch {mt.b}")
         if s != mt.m:
             raise ValueError(f"seq {s} != mask rows {mt.m}")
-
-        def fold(x):  # [b, s, h, hd] -> [b*h, s, hd]
-            x = jnp.transpose(x, (0, 2, 1, 3))
-            return x.reshape(b * h, s, hd)
-
-        q3, k3, v3 = fold(q), fold(k), fold(v)
-        scale = 1.0 / float(np.sqrt(hd))
         # Sub-128 tiles violate the TPU 128-lane minor-dim requirement (they
         # only work in interpret mode) — short sequences take the panel path.
         layout = self.layout
         if layout == "flash" and s < 128:
             layout = "panel"
+        group = 1
+        if k.shape[2] != h:
+            kv = k.shape[2]
+            if kv == 0 or h % kv:
+                raise ValueError(f"kv heads {kv} must divide heads {h}")
+            if layout == "flash":
+                # GQA native in the fused kernel: group query replicas read
+                # their shared KV replica — no K/V expansion, KV streams
+                # and dk/dv memory shrink by the group factor.
+                group = h // kv
+            else:
+                # unfused panel/csr chains index K/V per query replica
+                k = jnp.repeat(k, h // kv, axis=2)
+                v = jnp.repeat(v, h // kv, axis=2)
+
+        def fold(x):  # [b, s, hx, hd] -> [b*hx, s, hd]
+            x = jnp.transpose(x, (0, 2, 1, 3))
+            return x.reshape(b * x.shape[1], s, hd)
+
+        q3, k3, v3 = fold(q), fold(k), fold(v)
+        scale = 1.0 / float(np.sqrt(hd))
         if layout == "flash":
             from ..ops.fused_attention import (fused_sparse_attention,
                                                warm_flash_meta)
@@ -142,7 +148,8 @@ class SparseCoreAttention(nn.Module):
             # device-place the flash metadata on the first eager call so
             # traced steps don't bake it into their compile payload
             warm_flash_meta(spec)
-            ctx = fused_sparse_attention(spec, q3, k3, v3, scale=scale)
+            ctx = fused_sparse_attention(spec, q3, k3, v3, scale=scale,
+                                         group=group)
         elif layout == "panel":
             spec = self._panel_spec()
             scores = bp.sddmm_bh(spec, q3, k3) * scale

@@ -101,7 +101,10 @@ def warm_flash_meta(spec: bp.BatchedPanelSpec, *,
         _flash_bwd_meta(spec)
 
 
-def _unfused(spec, q, k, v, scale):
+def _unfused(spec, q, k, v, scale, group=1):
+    if group > 1:   # oracle expands KV to full query heads
+        k = jnp.repeat(k, group, axis=0)
+        v = jnp.repeat(v, group, axis=0)
     scores = bp.sddmm_bh(spec, q, k) * scale
     w = bp.sparse_softmax_bh(spec, scores)
     return bp.spmm_bh(spec, w, v)
@@ -127,7 +130,7 @@ def _pad(spec, x, rows, hd_pad):
     return out.at[:, : x.shape[1], : x.shape[2]].set(x)
 
 
-def _fused_fwd_impl(spec, q, k, v, scale, *, want_stats=False):
+def _fused_fwd_impl(spec, q, k, v, scale, group, *, want_stats=False):
     meta = _flash_meta(spec)
     R, s, hd = q.shape
     hd_pad = _hd_pad(max(hd, 1))
@@ -143,34 +146,35 @@ def _fused_fwd_impl(spec, q, k, v, scale, *, want_stats=False):
         q_p, k_p, v_p,
         R=R, heads=spec.heads, mb=spec.mb,
         max_bpr=meta["max_bpr"], bm=meta["bm"], bk=meta["bk"],
-        interpret=_interp(),
+        group=group, interpret=_interp(),
     )
     if want_stats:
         return out[:, :s, :hd], row_max, row_denom
     return out[:, :s, :hd]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
-def _fused(spec, q, k, v, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+def _fused(spec, q, k, v, scale, group):
     if not _use_kernels():
-        return _unfused(spec, q, k, v, scale)
-    return _fused_fwd_impl(spec, q, k, v, scale)
+        return _unfused(spec, q, k, v, scale, group)
+    return _fused_fwd_impl(spec, q, k, v, scale, group)
 
 
-def _fused_f(spec, q, k, v, scale):
+def _fused_f(spec, q, k, v, scale, group):
     if not _use_kernels():
-        out = _unfused(spec, q, k, v, scale)
+        out = _unfused(spec, q, k, v, scale, group)
         return out, (q, k, v, None, None, None)
-    out, row_max, row_denom = _fused_fwd_impl(spec, q, k, v, scale,
+    out, row_max, row_denom = _fused_fwd_impl(spec, q, k, v, scale, group,
                                               want_stats=True)
     return out, (q, k, v, out, row_max, row_denom)
 
 
-def _fused_b(spec, scale, res, g):
+def _fused_b(spec, scale, group, res, g):
     q, k, v, out, row_max, row_denom = res
     if out is None:  # oracle path
         _, vjp = jax.vjp(
-            lambda q_, k_, v_: _unfused(spec, q_, k_, v_, scale), q, k, v)
+            lambda q_, k_, v_: _unfused(spec, q_, k_, v_, scale, group),
+            q, k, v)
         return vjp(g)
 
     meta = _flash_bwd_meta(spec)
@@ -191,7 +195,7 @@ def _fused_b(spec, scale, res, g):
     dcoef = jnp.broadcast_to(d_pad[:, :, None], (R, spec.m_pad, 128))
 
     common = dict(R=R, heads=spec.heads, bm=meta["bm"], bk=meta["bk"],
-                  interpret=_interp())
+                  group=group, interpret=_interp())
     dq_p = fs.flash_sparse_bwd_dq(
         jnp.asarray(meta["block_cols"]),
         jnp.asarray(meta["nblocks"]),
@@ -208,6 +212,11 @@ def _fused_b(spec, scale, res, g):
         jnp.asarray(meta["pmask"]),
         q_p, k_p, v_p, g_p, stats, dcoef,
         kb=spec.kb, max_bpc=meta["max_bpc"], **common)
+    if group > 1:
+        # per-query-replica partials -> shared KV replica gradients
+        R_kv = R // group
+        dk_p = dk_p.reshape(R_kv, group, *dk_p.shape[1:]).sum(axis=1)
+        dv_p = dv_p.reshape(R_kv, group, *dv_p.shape[1:]).sum(axis=1)
 
     dq = dq_p[:, :s, :hd] * scale
     dk = dk_p[:, : k.shape[1], :hd]
@@ -219,13 +228,25 @@ _fused.defvjp(_fused_f, _fused_b)
 
 
 def fused_sparse_attention(spec: bp.BatchedPanelSpec, q, k, v,
-                           scale=None):
-    """``q, k, v: [R, s, hd]`` with ``R = spec.B * spec.heads`` ->
-    ``[R, s, hd]``; softmax over the nonzeros of each replica's mask row."""
+                           scale=None, group: int = 1):
+    """``q: [R, s, hd]`` with ``R = spec.B * spec.heads`` -> ``[R, s, hd]``;
+    softmax over the nonzeros of each replica's mask row.
+
+    ``group`` (GQA): ``k``/``v`` carry ``R // group`` replicas; each run of
+    ``group`` consecutive query replicas reads its shared KV replica
+    (``r // group`` — the head-minor ``b*heads + h`` fold order, same
+    convention as ``pallas/decode_attention``). KV HBM traffic and dk/dv
+    accumulator memory shrink by ``group`` vs repeating K/V to full heads."""
     if q.shape[0] != spec.R:
         raise ValueError(f"replica dim {q.shape[0]} != spec.R {spec.R}")
     if q.shape[1] != spec.m:
         raise ValueError(f"seq {q.shape[1]} != mask rows {spec.m}")
+    if group < 1 or spec.R % group or spec.heads % group:
+        raise ValueError(f"group {group} must divide heads {spec.heads}")
+    if k.shape[0] != q.shape[0] // group or v.shape[0] != q.shape[0] // group:
+        raise ValueError(
+            f"k/v replicas {k.shape[0]}/{v.shape[0]} != R // group "
+            f"{q.shape[0] // group}")
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
-    return _fused(spec, q, k, v, float(scale))
+    return _fused(spec, q, k, v, float(scale), int(group))

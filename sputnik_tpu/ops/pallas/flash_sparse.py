@@ -98,7 +98,7 @@ def build_flash_meta(views):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "heads", "mb", "max_bpr", "bm", "bk", "interpret"))
+    "R", "heads", "mb", "max_bpr", "bm", "bk", "group", "interpret"))
 def flash_sparse_attention_fwd(
     block_cols,    # i32[B, mb*max_bpr]
     nblocks,       # i32[B, mb]
@@ -106,8 +106,8 @@ def flash_sparse_attention_fwd(
     is_partial,    # i32[B, mb*max_bpr]
     pmask,         # f32[B, n_partial_max, bm, bk]
     q,             # f32[R, mb*bm, hd_pad]   (pre-scaled by 1/sqrt(hd))
-    k,             # f32[R, kb*bk, hd_pad]
-    v,             # f32[R, kb*bk, hd_pad]
+    k,             # f32[R // group, kb*bk, hd_pad]
+    v,             # f32[R // group, kb*bk, hd_pad]
     *,
     R: int,
     heads: int,
@@ -115,6 +115,7 @@ def flash_sparse_attention_fwd(
     max_bpr: int,
     bm: int,
     bk: int,
+    group: int = 1,   # GQA: query replicas per shared KV replica
     interpret: bool = False,
 ):
     """Returns ``(out [R, mb*bm, hd_pad], row_max [R, mb*bm, 128],
@@ -176,11 +177,11 @@ def flash_sparse_attention_fwd(
                 pl.BlockSpec(
                     (1, bk, hd_pad),
                     lambda r, i, s, c, nb_, sl, pt: (
-                        r, c[r // heads, i * max_bpr + s], 0)),
+                        r // group, c[r // heads, i * max_bpr + s], 0)),
                 pl.BlockSpec(
                     (1, bk, hd_pad),
                     lambda r, i, s, c, nb_, sl, pt: (
-                        r, c[r // heads, i * max_bpr + s], 0)),
+                        r // group, c[r // heads, i * max_bpr + s], 0)),
                 pl.BlockSpec(
                     (1, 1, bm, bk),
                     lambda r, i, s, c, nb_, sl, pt: (
@@ -259,12 +260,12 @@ def build_flash_bwd_meta(views):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "heads", "mb", "max_bpr", "bm", "bk", "interpret"))
+    "R", "heads", "mb", "max_bpr", "bm", "bk", "group", "interpret"))
 def flash_sparse_bwd_dq(
     block_cols, nblocks, mask_slot, is_partial, pmask,
     q, k, v, g, stats,  # stats f32[R, mb*bm, 128]: lanes 0/1 = m / l
     dcoef,              # f32[R, mb*bm, 128]: D = rowsum(g*out), broadcast
-    *, R, heads, mb, max_bpr, bm, bk, interpret=False,
+    *, R, heads, mb, max_bpr, bm, bk, group=1, interpret=False,
 ):
     """dq (w.r.t. the PRE-SCALED q): f32[R, mb*bm, hd_pad]."""
     hd_pad = q.shape[-1]
@@ -314,11 +315,11 @@ def flash_sparse_bwd_dq(
                 pl.BlockSpec(
                     (1, bk, hd_pad),
                     lambda r, i, s, c, nb_, sl, pt: (
-                        r, c[r // heads, i * max_bpr + s], 0)),
+                        r // group, c[r // heads, i * max_bpr + s], 0)),
                 pl.BlockSpec(
                     (1, bk, hd_pad),
                     lambda r, i, s, c, nb_, sl, pt: (
-                        r, c[r // heads, i * max_bpr + s], 0)),
+                        r // group, c[r // heads, i * max_bpr + s], 0)),
                 pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
                 pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
                 pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
@@ -342,13 +343,17 @@ def flash_sparse_bwd_dq(
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "heads", "kb", "max_bpc", "bm", "bk", "interpret"))
+    "R", "heads", "kb", "max_bpc", "bm", "bk", "group", "interpret"))
 def flash_sparse_bwd_dkv(
     t_src_i, t_nblocks, t_mask_slot, t_is_partial, pmask,
     q, k, v, g, stats, dcoef,
-    *, R, heads, kb, max_bpc, bm, bk, interpret=False,
+    *, R, heads, kb, max_bpc, bm, bk, group=1, interpret=False,
 ):
-    """(dk, dv): each f32[R, kb*bk, hd_pad]."""
+    """(dk, dv): each f32[R, kb*bk, hd_pad] — PER QUERY REPLICA even under
+    GQA (k/v enter as [R // group, ...]); the caller sums each group of
+    ``group`` partials into its shared KV replica's gradient (a tiny XLA
+    reduction — accumulating across grid dim 0 in-kernel would serialise
+    the replica axis)."""
     hd_pad = q.shape[-1]
 
     def kernel(ti_ref, tn_ref, slot_ref, part_ref,
@@ -405,8 +410,10 @@ def flash_sparse_bwd_dkv(
                     (1, bm, hd_pad),
                     lambda r, j, u, a, tn, sl, pt: (
                         r, a[r // heads, j * max_bpc + u], 0)),
-                pl.BlockSpec((1, bk, hd_pad), lambda r, j, u, *p: (r, j, 0)),
-                pl.BlockSpec((1, bk, hd_pad), lambda r, j, u, *p: (r, j, 0)),
+                pl.BlockSpec((1, bk, hd_pad),
+                             lambda r, j, u, *p: (r // group, j, 0)),
+                pl.BlockSpec((1, bk, hd_pad),
+                             lambda r, j, u, *p: (r // group, j, 0)),
                 pl.BlockSpec(
                     (1, bm, hd_pad),
                     lambda r, j, u, a, tn, sl, pt: (

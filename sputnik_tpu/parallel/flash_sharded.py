@@ -37,9 +37,10 @@ class ShardedFlashSpec:
     def __init__(self, part: RowPartition, *,
                  bm: int = 128, bk: int = 128,
                  mesh: Optional[Mesh] = None, axis: str = "sp"):
-        # NOTE: no head grouping here — every replica carries its own
-        # copy of the (single) shard topology, so the kernels run with
-        # heads=R (metadata batch 0 shared by all replicas)
+        # Every replica shares the (single) shard topology, so the kernels
+        # run with heads=R (metadata batch 0 shared by all replicas). GQA
+        # head grouping is a CALL-time property (``group=`` on
+        # flash_attention_sharded), like pallas/decode_attention.
         self.part = part
         self.mesh, self.axis = mesh, axis
         views = [s.block(bm, bk) for s in part.shards]
@@ -119,9 +120,10 @@ def _t_meta_args(spec):
         spec.pmask))
 
 
-def _fwd_sharded(spec, q_sh, k, v):
+def _fwd_sharded(spec, q_sh, k, v, group):
     """q_sh [ndev, R, m_pad_loc, hd_pad] (pre-scaled+padded);
-    k, v [R, n_pad, hd_pad] replicated. Returns (out, m, l) sharded."""
+    k, v [R // group, n_pad, hd_pad] replicated. Returns (out, m, l)
+    sharded."""
     R = q_sh.shape[1]
     x = spec.axis
 
@@ -130,7 +132,7 @@ def _fwd_sharded(spec, q_sh, k, v):
             cols[0][None], nblk[0][None], slot[0][None], part[0][None],
             pmask[0][None], q[0], kk, vv,
             R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
-            bm=spec.bm, bk=spec.bk, interpret=_interp())
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
         return out[None], m[None], l[None]
 
     fn = _smap(
@@ -142,9 +144,9 @@ def _fwd_sharded(spec, q_sh, k, v):
     return fn(*_meta_args(spec), q_sh, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
-def _flash_sh(spec, q_sh, k, v, scale):
-    out, _, _ = _fwd_sharded(spec, *_prep(spec, q_sh, k, v, scale))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+def _flash_sh(spec, q_sh, k, v, scale, group):
+    out, _, _ = _fwd_sharded(spec, *_prep(spec, q_sh, k, v, scale), group)
     return out  # _prep already applied the scale
 
 
@@ -152,18 +154,19 @@ def _prep(spec, q_sh, k, v, scale):
     hd = q_sh.shape[-1]
     hd_pad = _round_up(max(hd, 1), 128)
     ndev, R = q_sh.shape[0], q_sh.shape[1]
+    R_kv = k.shape[0]
     q_p = jnp.zeros((ndev, R, spec.m_pad_loc, hd_pad), q_sh.dtype)
     q_p = q_p.at[:, :, : q_sh.shape[2], :hd].set(q_sh * scale)
-    k_p = jnp.zeros((R, spec.n_pad, hd_pad), k.dtype)
+    k_p = jnp.zeros((R_kv, spec.n_pad, hd_pad), k.dtype)
     k_p = k_p.at[:, : k.shape[1], :hd].set(k)
-    v_p = jnp.zeros((R, spec.n_pad, hd_pad), v.dtype)
+    v_p = jnp.zeros((R_kv, spec.n_pad, hd_pad), v.dtype)
     v_p = v_p.at[:, : v.shape[1], :hd].set(v)
     return q_p, k_p, v_p
 
 
-def _flash_sh_fwd(spec, q_sh, k, v, scale):
+def _flash_sh_fwd(spec, q_sh, k, v, scale, group):
     q_p, k_p, v_p = _prep(spec, q_sh, k, v, scale)
-    out, m, l = _fwd_sharded(spec, q_p, k_p, v_p)
+    out, m, l = _fwd_sharded(spec, q_p, k_p, v_p, group)
     # residuals hold ONLY the padded copies + the unpadded shapes —
     # saving q_sh/k/v too doubled activation memory (k/v replicated on
     # every device) when the backward needs just their extents
@@ -171,7 +174,7 @@ def _flash_sh_fwd(spec, q_sh, k, v, scale):
     return out, (shapes, q_p, k_p, v_p, out, m, l)
 
 
-def _flash_sh_bwd(spec, scale, res, g):
+def _flash_sh_bwd(spec, scale, group, res, g):
     (q_shape, k_shape, v_shape), q_p, k_p, v_p, out, m_st, l_st = res
     ndev, R = q_p.shape[0], q_p.shape[1]
     hd = q_shape[-1]
@@ -191,7 +194,7 @@ def _flash_sh_bwd(spec, scale, res, g):
             cols[0][None], nblk[0][None], slot[0][None], part[0][None],
             pmask[0][None], q[0], kk, vv, gg[0], st[0], dc[0],
             R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
-            bm=spec.bm, bk=spec.bk, interpret=_interp())
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
         return dq[None]
 
     dq_p = _smap(
@@ -207,7 +210,13 @@ def _flash_sh_bwd(spec, scale, res, g):
             ti[0][None], tn[0][None], tsl[0][None], tpt[0][None],
             pmask[0][None], q[0], kk, vv, gg[0], st[0], dc[0],
             R=R, heads=R, kb=spec.kb, max_bpc=spec.max_bpc,
-            bm=spec.bm, bk=spec.bk, interpret=_interp())
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        if group > 1:
+            # per-query-replica partials -> shared KV replica grads,
+            # summed LOCALLY before the psum (ICI payload shrinks by
+            # the group factor too)
+            dk = dk.reshape(R // group, group, *dk.shape[1:]).sum(axis=1)
+            dv = dv.reshape(R // group, group, *dv.shape[1:]).sum(axis=1)
         # after the psum every device holds the identical full dk/dv —
         # return them replicated instead of stacking ndev copies and
         # slicing [0] outside
@@ -233,15 +242,29 @@ _flash_sh.defvjp(_flash_sh_fwd, _flash_sh_bwd)
 
 
 def flash_attention_sharded(spec: ShardedFlashSpec, q_sh, k, v,
-                            scale=None):
+                            scale=None, group: int = 1):
     """Sequence-parallel fused sparse attention.
 
     ``q_sh [ndev, R, s_loc, hd]`` query-sharded over the mesh axis (rows in
     partition order — apply ``spec.part.perm`` if balanced); ``k, v
-    [R, s, hd]`` replicated. Returns query-sharded ``[ndev, R, s_loc, hd]``
-    (trimmed to ``s_loc`` rows).
+    [R // group, s, hd]`` replicated. Returns query-sharded
+    ``[ndev, R, s_loc, hd]`` (trimmed to ``s_loc`` rows).
+
+    ``group`` (GQA): each run of ``group`` consecutive query replicas
+    reads one shared KV replica (``r // group``, the ``b*heads + h`` fold
+    order — same convention as ``pallas/decode_attention``). Replicated
+    K/V memory, kernel KV streams, and the dk/dv psum payload all shrink
+    by ``group`` vs expanding K/V to full heads — exactly where sequence
+    parallelism runs longest.
     """
+    R = q_sh.shape[1]
+    if group < 1 or R % group:
+        raise ValueError(f"group {group} must divide replicas {R}")
+    if k.shape[0] != R // group or v.shape[0] != R // group:
+        raise ValueError(
+            f"k/v replicas {k.shape[0]}/{v.shape[0]} != R // group "
+            f"{R // group}")
     if scale is None:
         scale = 1.0 / np.sqrt(q_sh.shape[-1])
-    out = _flash_sh(spec, q_sh, k, v, float(scale))
+    out = _flash_sh(spec, q_sh, k, v, float(scale), int(group))
     return out[:, :, : q_sh.shape[2], : q_sh.shape[-1]]

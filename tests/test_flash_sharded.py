@@ -70,3 +70,67 @@ def test_sharded_flash_fwd_bwd_vs_dense(mesh):
     np.testing.assert_allclose(gq_got, np.asarray(gq_d), atol=1e-2)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_d), atol=1e-2)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_d), atol=1e-2)
+
+
+def test_sharded_flash_gqa(mesh):
+    """kv_heads < heads on the 8-device mesh (r2 verdict #5): grouped KV
+    replicas reproduce the dense reference with K/V expanded to full
+    heads, forward AND dk/dv (locally group-summed before the psum)."""
+    rng = np.random.RandomState(3)
+    s, hd, R, group = 320, 32, 4, 2
+    R_kv = R // group
+    mask = np.tril(np.ones((s, s), np.float32))
+    part = RowPartition(st.SparseTopology.from_dense_mask(mask), NDEV,
+                        bm=8, balance=False)
+    spec = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh, axis="sp")
+    q = rng.randn(R, s, hd).astype(np.float32)
+    k = rng.randn(R_kv, s, hd).astype(np.float32)
+    v = rng.randn(R_kv, s, hd).astype(np.float32)
+    q_sh = jnp.asarray(
+        q.reshape(R, NDEV, s // NDEV, hd).transpose(1, 0, 2, 3))
+
+    out = jax.jit(lambda a, b, c: flash_attention_sharded(
+        spec, a, b, c, group=group))(q_sh, jnp.asarray(k), jnp.asarray(v))
+    got = np.asarray(out).transpose(1, 0, 2, 3).reshape(R, s, hd)
+    k_full = np.repeat(k, group, axis=0)
+    v_full = np.repeat(v, group, axis=0)
+    mask_r = np.broadcast_to(mask, (R, s, s))
+    ref = _dense_ref(mask_r, q, k_full, v_full)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    gq, gk, gv = jax.jit(jax.grad(
+        lambda a, b, c: jnp.sum(
+            flash_attention_sharded(spec, a, b, c, group=group) ** 2),
+        argnums=(0, 1, 2)))(q_sh, jnp.asarray(k), jnp.asarray(v))
+    assert gk.shape == (R_kv, s, hd) and gv.shape == (R_kv, s, hd)
+
+    def dense(qq, kk, vv):
+        kf = jnp.repeat(kk, group, axis=0)
+        vf = jnp.repeat(vv, group, axis=0)
+        scd = jnp.einsum("rqd,rkd->rqk", qq, kf) / np.sqrt(hd)
+        scd = jnp.where(jnp.asarray(mask) != 0, scd, -1e30)
+        wd = jax.nn.softmax(scd, axis=-1) * (jnp.asarray(mask) != 0)
+        return jnp.einsum("rqk,rkd->rqd", wd, vf)
+
+    gq_d, gk_d, gv_d = jax.grad(
+        lambda a, b, c: jnp.sum(dense(a, b, c) ** 2),
+        argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gq_got = np.asarray(gq).transpose(1, 0, 2, 3).reshape(R, s, hd)
+    np.testing.assert_allclose(gq_got, np.asarray(gq_d), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_d), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_d), atol=1e-2)
+
+
+def test_sharded_flash_gqa_validation(mesh):
+    rng = np.random.RandomState(4)
+    s, hd = 320, 16
+    mask = np.tril(np.ones((s, s), np.float32))
+    part = RowPartition(st.SparseTopology.from_dense_mask(mask), NDEV,
+                        bm=8, balance=False)
+    spec = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh, axis="sp")
+    q_sh = jnp.asarray(rng.randn(NDEV, 4, s // NDEV, hd).astype(np.float32))
+    kv = jnp.asarray(rng.randn(4, s, hd).astype(np.float32))
+    with pytest.raises(ValueError):
+        flash_attention_sharded(spec, q_sh, kv, kv, group=3)  # 3 !| 4
+    with pytest.raises(ValueError):
+        flash_attention_sharded(spec, q_sh, kv, kv, group=2)  # kv not R/2

@@ -88,3 +88,52 @@ def test_transformer_flash_layout_matches_panel():
                                 layout="panel").apply({}, q, k, v)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                atol=1e-4)
+
+
+def test_fused_gqa_matches_expanded():
+    """group=2 on grouped KV replicas == full-head attention with K/V
+    repeated, kernel (interpret) AND oracle, fwd + all three grads."""
+    rng = np.random.RandomState(11)
+    b, h, s, hd = 2, 4, 64, 32
+    group = 2
+    kvh = h // group
+    masks = np.stack([np.tril(np.ones((s, s), np.float32)),
+                      (rng.rand(s, s) < 0.4).astype(np.float32)])
+    mt = mm.ManyMaskTopology.from_dense_masks(masks)
+    spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=h, bm=16, bk=16)
+    q = jnp.asarray(rng.randn(b * h, s, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b * kvh, s, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b * kvh, s, hd).astype(np.float32))
+    k_full = jnp.repeat(k, group, axis=0)
+    v_full = jnp.repeat(v, group, axis=0)
+
+    for backend in ("xla", "pallas"):
+        st.set_backend(backend)
+        try:
+            out = fused_sparse_attention(spec, q, k, v, group=group)
+            ref = fused_sparse_attention(spec, q, k_full, v_full)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=1e-4, err_msg=backend)
+            gq, gk, gv = jax.grad(
+                lambda a, b_, c: jnp.sum(
+                    fused_sparse_attention(spec, a, b_, c,
+                                           group=group) ** 2),
+                argnums=(0, 1, 2))(q, k, v)
+            gq_f, gk_f, gv_f = jax.grad(
+                lambda a, b_, c: jnp.sum(
+                    fused_sparse_attention(spec, a, b_, c) ** 2),
+                argnums=(0, 1, 2))(q, k_full, v_full)
+            np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_f),
+                                       atol=1e-3, err_msg=backend)
+            # expanded-path dk/dv fold back by group-sum
+            for g_got, g_full in ((gk, gk_f), (gv, gv_f)):
+                folded = np.asarray(g_full).reshape(
+                    b * kvh, group, s, hd).sum(axis=1)
+                np.testing.assert_allclose(np.asarray(g_got), folded,
+                                           atol=1e-3, err_msg=backend)
+        finally:
+            st.set_backend("auto")
+    with pytest.raises(ValueError):
+        fused_sparse_attention(spec, q, k, v, group=3)
+    with pytest.raises(ValueError):
+        fused_sparse_attention(spec, q, k_full, v_full, group=group)

@@ -269,3 +269,36 @@ class TestSparseTransformer:
         params = model.init(jax.random.PRNGKey(4), x)
         y = model.apply(params, x)
         assert np.isfinite(np.asarray(y)).all()
+
+
+def test_gqa_flash_path_native_grouping():
+    """s >= 128 routes to the fused flash kernel, which now groups KV
+    natively (no repeat): parity vs explicitly repeated K/V through the
+    same kernel, forward + grads, kernel backend (interpret)."""
+    from sputnik_tpu import many_mask as mm
+    from sputnik_tpu.models.transformer import SparseCoreAttention
+
+    b, s, heads, kv, hd = 2, 128, 4, 2, 16
+    masks = np.broadcast_to(causal_mask(s), (b, s, s)).copy()
+    mt = mm.ManyMaskTopology.from_dense_masks(masks)
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(b, s, heads, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, kv, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, kv, hd).astype(np.float32))
+    core = SparseCoreAttention(mask_topology=mt, num_heads=heads,
+                               layout="flash", flash_block=128,
+                               flash_block_k=128)
+    st.set_backend("pallas")
+    try:
+        y_gqa = core.apply({}, q, k, v)
+        y_rep = core.apply({}, q, jnp.repeat(k, heads // kv, axis=2),
+                           jnp.repeat(v, heads // kv, axis=2))
+        gq, gk, gv = jax.grad(
+            lambda a, b_, c: jnp.sum(core.apply({}, a, b_, c) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+    finally:
+        st.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(y_gqa), np.asarray(y_rep),
+                               atol=1e-4)
+    assert gk.shape == k.shape and gv.shape == v.shape
+    assert all(np.isfinite(np.asarray(g)).all() for g in (gq, gk, gv))

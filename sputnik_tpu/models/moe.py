@@ -36,7 +36,7 @@ __all__ = ["SparseMoE"]
 
 
 class SparseMoE(nn.Module):
-    """Top-1 MoE with CSR-sparse expert FFNs.
+    """Top-1 / top-2 MoE with CSR-sparse expert FFNs.
 
     Attributes:
       topo_in: ``SparseTopology [ffn, hidden]`` of every expert's first
@@ -44,9 +44,15 @@ class SparseMoE(nn.Module):
       topo_out: ``SparseTopology [hidden, ffn]`` of the second projection.
       num_experts: expert count ``E`` (divisible by the ``ep`` axis size
         when expert-parallel).
+      top_k: experts per token — 1 (Switch-style) or 2 (the GShard/Mixtral
+        standard). With ``top_k=2`` the two gates are renormalised to sum
+        to 1 and second choices queue BEHIND every first choice in the
+        capacity buffer (GShard's location offset), so congestion sheds
+        second opinions before first ones.
       capacity_factor: per-expert token capacity multiplier
-        (``C = ceil(tokens / E * capacity_factor)``; overflow tokens pass
-        through with zero expert output, the standard top-1 behaviour).
+        (``C = ceil(tokens / E * top_k * capacity_factor)``; overflow
+        tokens pass through with that expert contribution zeroed, the
+        standard behaviour).
       activation: nonlinearity between the projections.
       mesh / axis: optional expert-parallel mesh axis; values are sharded
         ``P('ep')`` and the expert compute runs under ``shard_map``.
@@ -55,6 +61,7 @@ class SparseMoE(nn.Module):
     topo_in: SparseTopology
     topo_out: SparseTopology
     num_experts: int
+    top_k: int = 1
     capacity_factor: float = 1.25
     activation: Optional[str] = "gelu"
     mesh: Optional[Mesh] = None
@@ -81,31 +88,52 @@ class SparseMoE(nn.Module):
         if x.shape[-1] != h:
             raise ValueError(f"input features {x.shape[-1]} != {h}")
         E = self.num_experts
+        if self.top_k not in (1, 2):
+            raise ValueError(f"top_k must be 1 or 2, got {self.top_k}")
         lead = x.shape[:-1]
         xf = x.reshape(-1, h)
         T = xf.shape[0]
-        C = max(int(np.ceil(T / E * self.capacity_factor)), 1)
+        C = max(int(np.ceil(T / E * self.top_k * self.capacity_factor)), 1)
 
         # --- router (dense; tiny) ---------------------------------------
         logits = nn.Dense(E, use_bias=False, name="router")(xf)   # [T, E]
         probs = jax.nn.softmax(logits, axis=-1)
-        expert = jnp.argmax(probs, axis=-1)                        # [T]
-        gate = jnp.max(probs, axis=-1)                             # [T]
         # routing math stays int32/f32: a bf16 cumsum is only exact to
         # 256, so with capacity > 256 two tokens would silently share a
         # capacity slot (their inputs SUM in the dispatch einsum)
-        onehot_i = jax.nn.one_hot(expert, E, dtype=jnp.int32)      # [T, E]
+        expert1 = jnp.argmax(probs, axis=-1)                       # [T]
+        gate1 = jnp.max(probs, axis=-1)                            # [T]
+        oh1 = jax.nn.one_hot(expert1, E, dtype=jnp.int32)          # [T, E]
 
-        # GShard load-balance aux loss: E * sum_e(frac_tokens * mean_prob)
-        frac = jnp.mean(onehot_i.astype(probs.dtype), axis=0)
+        # GShard load-balance aux loss (first-choice assignment fractions):
+        # E * sum_e(frac_tokens * mean_prob)
+        frac = jnp.mean(oh1.astype(probs.dtype), axis=0)
         mean_p = jnp.mean(probs, axis=0)
         self.sow("intermediates", "aux_loss", E * jnp.sum(frac * mean_p))
 
         # position of each token within its expert; one_hot itself zeroes
         # unrouted (-1) and over-capacity (>= C) slots
-        pos = jnp.cumsum(onehot_i, axis=0) * onehot_i - 1          # [T, E]
-        dispatch = jax.nn.one_hot(pos, C, dtype=xf.dtype)          # [T, E, C]
-        combine = dispatch * gate[:, None, None]
+        pos1 = jnp.cumsum(oh1, axis=0) * oh1 - 1                   # [T, E]
+        if self.top_k == 1:
+            dispatch = jax.nn.one_hot(pos1, C, dtype=xf.dtype)     # [T, E, C]
+            combine = dispatch * gate1[:, None, None]
+        else:
+            # second choice: mask the winner, renormalise the two gates
+            probs2 = probs * (1 - oh1.astype(probs.dtype))
+            expert2 = jnp.argmax(probs2, axis=-1)
+            gate2 = jnp.max(probs2, axis=-1)
+            oh2 = jax.nn.one_hot(expert2, E, dtype=jnp.int32)
+            denom = jnp.maximum(gate1 + gate2, 1e-9)
+            g1n, g2n = gate1 / denom, gate2 / denom
+            # GShard location offset: second choices queue behind ALL of
+            # an expert's first choices, so overflow sheds them first
+            cnt1 = jnp.sum(oh1, axis=0)                            # [E]
+            pos2 = (jnp.cumsum(oh2, axis=0) + cnt1[None, :]) * oh2 - 1
+            disp1 = jax.nn.one_hot(pos1, C, dtype=xf.dtype)
+            disp2 = jax.nn.one_hot(pos2, C, dtype=xf.dtype)
+            dispatch = disp1 + disp2                               # [T, E, C]
+            combine = (disp1 * g1n[:, None, None]
+                       + disp2 * g2n[:, None, None])
 
         # --- per-expert sparse values (shared topology) ------------------
         from .linear import sparse_kaiming_values

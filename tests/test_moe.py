@@ -142,3 +142,107 @@ def test_moe_bf16_routing_exact_past_256():
     d = np.abs(np.asarray(y16, np.float32) - np.asarray(y32))
     scale = np.abs(np.asarray(y32)).max() + 1e-6
     assert (d / scale).max() < 0.15, (d / scale).max()
+
+
+def _ref_moe_top2(params, topo_in, topo_out, x, E, C):
+    """Dense numpy reference of top-2 routing: renormalised gates, second
+    choices queued behind all first choices (GShard offset)."""
+    xf = np.asarray(x).reshape(-1, x.shape[-1])
+    Wr = np.asarray(params["router"]["kernel"])
+    logits = xf @ Wr
+    ex = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = ex / ex.sum(-1, keepdims=True)
+    e1 = probs.argmax(-1)
+    g1 = probs.max(-1)
+    p2 = probs.copy()
+    p2[np.arange(len(e1)), e1] = 0.0
+    e2 = p2.argmax(-1)
+    g2 = p2.max(-1)
+    denom = np.maximum(g1 + g2, 1e-9)
+    g1n, g2n = g1 / denom, g2 / denom
+    Ws = [(_dense_w(topo_in, params["w_in_values"][e]),
+           _dense_w(topo_out, params["w_out_values"][e]))
+          for e in range(E)]
+
+    def y(e, t):
+        W1, W2 = Ws[e]
+        return np.asarray(W2 @ jax.nn.gelu(W1 @ xf[t]))
+
+    out = np.zeros_like(xf)
+    c1 = np.zeros(E, np.int64)
+    for t in range(xf.shape[0]):
+        e = int(e1[t])
+        if c1[e] < C:
+            out[t] += g1n[t] * y(e, t)
+        c1[e] += 1
+    cnt1 = np.bincount(e1, minlength=E)
+    c2 = np.zeros(E, np.int64)
+    for t in range(xf.shape[0]):
+        e = int(e2[t])
+        if cnt1[e] + c2[e] < C:
+            out[t] += g2n[t] * y(e, t)
+        c2[e] += 1
+    return out.reshape(x.shape)
+
+
+def test_moe_top2_matches_dense_reference():
+    rng = np.random.RandomState(3)
+    topo_in, topo_out = _topos(rng)
+    E, b, s, h = 4, 2, 8, 32
+    moe = SparseMoE(topo_in=topo_in, topo_out=topo_out, num_experts=E,
+                    top_k=2, capacity_factor=1.25)
+    x = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    params = moe.init(jax.random.PRNGKey(0), x)
+    y = moe.apply(params, x)
+    C = int(np.ceil(b * s / E * 2 * 1.25))
+    ref = _ref_moe_top2(params["params"], topo_in, topo_out, x, E, C)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_moe_top2_overflow_sheds_second_choices():
+    """With capacity_factor small enough that an expert overflows, every
+    shed contribution must be a SECOND choice (GShard offset): the output
+    still contains each token's first-choice contribution whenever its
+    first choice fit."""
+    rng = np.random.RandomState(4)
+    topo_in, topo_out = _topos(rng)
+    E, T, h = 2, 16, 32
+    x = jnp.asarray(rng.randn(1, T, h).astype(np.float32))
+    # capacity C = ceil(16/2 * 2 * 0.5) = 8 < 16 first+second choices/expert
+    moe = SparseMoE(topo_in=topo_in, topo_out=topo_out, num_experts=E,
+                    top_k=2, capacity_factor=0.5)
+    params = moe.init(jax.random.PRNGKey(0), x)
+    y = moe.apply(params, x)
+    C = int(np.ceil(T / E * 2 * 0.5))
+    ref = _ref_moe_top2(params["params"], topo_in, topo_out, x, E, C)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
+    assert np.abs(np.asarray(y)).max() > 0
+
+
+def test_moe_top2_grads_and_ep_parity():
+    devs = jax.devices()
+    if len(devs) < NDEV:
+        pytest.skip(f"need {NDEV} devices")
+    mesh = Mesh(np.array(devs[:NDEV]), ("ep",))
+    rng = np.random.RandomState(5)
+    topo_in, topo_out = _topos(rng)
+    E, b, s, h = 8, 2, 16, 32
+    x = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    moe1 = SparseMoE(topo_in=topo_in, topo_out=topo_out, num_experts=E,
+                     top_k=2)
+    params = moe1.init(jax.random.PRNGKey(0), x)
+    ref = moe1.apply(params, x)
+    moe_ep = SparseMoE(topo_in=topo_in, topo_out=topo_out, num_experts=E,
+                       top_k=2, mesh=mesh, axis="ep")
+    got = jax.jit(lambda p, xx: moe_ep.apply(p, xx))(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    g = jax.jit(jax.grad(
+        lambda p, xx: jnp.mean(moe_ep.apply(p, xx) ** 2)))(params, x)
+    g1 = jax.grad(
+        lambda p, xx: jnp.mean(moe1.apply(p, xx) ** 2))(params, x)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g),
+                     jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)
+    assert np.abs(np.asarray(g["params"]["w_in_values"])).max() > 0

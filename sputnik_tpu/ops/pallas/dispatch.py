@@ -78,37 +78,48 @@ def _flat_spec(topo):
 _panel_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 
 
-def _values_panel(spec, values):
-    """values[nnz] -> panel, cached across eager calls per values buffer."""
-    from .. import panel_api as P
-
-    # cache only immutable device arrays outside any trace (a traced value
-    # has no stable identity; a numpy array can be mutated in place)
-    if not _common.trace_clean() or not isinstance(values, jax.Array):
-        return P.values_to_panel(spec.topo, values, spec.bm, spec.bk)
-    key = (id(spec), id(values))
-    hit = _panel_cache.get(key)
-    if hit is not None and hit[0] is values:
-        _panel_cache.move_to_end(key)
-        return hit[1]
-    panel = P.values_to_panel(spec.topo, values, spec.bm, spec.bk)
-    _panel_cache[key] = (values, panel)
-    while len(_panel_cache) > _PANEL_CACHE_SLOTS:
-        _panel_cache.popitem(last=False)
-    return panel
-
-
-def _stream_dtype(spec, values, dense):
+def _stream_target(spec, values):
     """bf16 operand streaming on real TPU at scale: halves HBM traffic and
     is numerically identical to the default-precision f32 matmul (the MXU
     truncates f32 operands to bf16 passes anyway). Off-TPU (interpret-mode
     tests) operands keep their dtype so kernel-vs-oracle comparisons stay
-    exact."""
+    exact. Returns the stream dtype or None."""
     t = spec.topo
     if (_common.on_tpu() and t.m >= 2048 and t.n >= 2048
             and values.dtype == jnp.float32):
-        return values.astype(jnp.bfloat16), dense.astype(jnp.bfloat16)
-    return values, dense
+        return jnp.bfloat16
+    return None
+
+
+def _values_panel(spec, values, stream_dt=None):
+    """values[nnz] -> panel (optionally cast to ``stream_dt``), cached
+    across eager calls per ORIGINAL values buffer.
+
+    The cache key must be the buffer the CALLER passes: casting values
+    first would mint a new array every call, miss every time, and re-pay
+    the conversion (measured 127 ms/call at the headline size — the
+    scatter indices alone are 67 MB of per-call host->device traffic)."""
+    from .. import panel_api as P
+
+    def build():
+        p = P.values_to_panel(spec.topo, values, spec.bm, spec.bk)
+        return p.astype(stream_dt) if stream_dt is not None else p
+
+    # cache only immutable device arrays outside any trace (a traced value
+    # has no stable identity; a numpy array can be mutated in place)
+    if not _common.trace_clean() or not isinstance(values, jax.Array):
+        return build()
+    key = (id(spec), id(values), jnp.dtype(stream_dt).name
+           if stream_dt is not None else None)
+    hit = _panel_cache.get(key)
+    if hit is not None and hit[0] is values:
+        _panel_cache.move_to_end(key)
+        return hit[1]
+    panel = build()
+    _panel_cache[key] = (values, panel)
+    while len(_panel_cache) > _PANEL_CACHE_SLOTS:
+        _panel_cache.popitem(last=False)
+    return panel
 
 
 def spmm(topo, values, dense):
@@ -116,8 +127,10 @@ def spmm(topo, values, dense):
 
     spec = _flat_spec(topo)
     out_dt = jnp.promote_types(values.dtype, dense.dtype)
-    values, dense = _stream_dtype(spec, values, dense)
-    panel = _values_panel(spec, values)
+    stream = _stream_target(spec, values)
+    panel = _values_panel(spec, values, stream)
+    if stream is not None:
+        dense = dense.astype(stream)
     return P._spmm_impl(spec, panel, dense).astype(out_dt)
 
 
@@ -126,8 +139,10 @@ def spmm_bias_relu(topo, values, dense, bias, *, relu: bool = True):
 
     spec = _flat_spec(topo)
     out_dt = jnp.promote_types(values.dtype, dense.dtype)
-    values, dense = _stream_dtype(spec, values, dense)
-    panel = _values_panel(spec, values)
+    stream = _stream_target(spec, values)
+    panel = _values_panel(spec, values, stream)
+    if stream is not None:
+        dense = dense.astype(stream)
     out = P._spmm_impl(spec, panel, dense, bias,
                        epilogue="bias_relu" if relu else "bias")
     return out.astype(out_dt)

@@ -136,10 +136,44 @@ def bench_transformer_driver():
 
     ms_fwd = slope(lambda: fwd(params), n_lo=3, n_hi=12)
     ms_step = slope(lambda: step(params)[0], n_lo=3, n_hi=12)
+
+    # dense-equivalent train step, SAME parameters and layer math but
+    # dense masked softmax attention (the reference reports sparse/dense
+    # ratios, tests/test_attention.py:55-83 — this is the ratio's
+    # denominator at the driver config, measured in the same session)
+    mask_j = jnp.asarray(masks)                      # [b, s, s]
+    hd = h // heads
+
+    def dense_apply(p, xx):
+        # mirrors the driver model's defaults (no LN / residual /
+        # activation — the reference driver's bare block), dense attention
+        lp_all = p["params"]
+        for i in range(layers):
+            lp = lp_all[f"layer_{i}"]
+            qkv = xx @ lp["self_attention"]["query_key_value"]["kernel"] \
+                + lp["self_attention"]["query_key_value"]["bias"]
+            qkv = qkv.reshape(b, s, heads, 3 * hd)
+            q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+            sc = jnp.einsum("bqhd,bkhd->bhqk", q_, k_) / np.sqrt(hd)
+            sc = jnp.where(mask_j[:, None] != 0, sc, -1e30)
+            w = jax.nn.softmax(sc, axis=-1) * (mask_j[:, None] != 0)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", w, v_).reshape(b, s, h)
+            attn = ctx @ lp["self_attention"]["dense"]["kernel"] \
+                + lp["self_attention"]["dense"]["bias"]
+            y = attn @ lp["mlp"]["to_4h"]["kernel"] \
+                + lp["mlp"]["to_4h"]["bias"]
+            xx = y @ lp["mlp"]["to_h"]["kernel"] + lp["mlp"]["to_h"]["bias"]
+        return xx
+
+    dstep = jax.jit(jax.value_and_grad(
+        lambda p: jnp.mean(dense_apply(p, x) ** 2)))
+    ms_dense_step = slope(lambda: dstep(params)[0], n_lo=3, n_hi=12)
     print(json.dumps({
         "config": f"transformer driver b={b} s={s} h={h} x{layers}L",
         "forward_ms": round(ms_fwd, 3),
         "train_step_ms": round(ms_step, 3),
+        "dense_train_step_ms": round(ms_dense_step, 3),
+        "sparse_over_dense": round(ms_step / ms_dense_step, 3),
     }), flush=True)
 
 

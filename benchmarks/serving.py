@@ -20,11 +20,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def per_token(fn, n_tokens, repeats=3):
-    """min wall-clock per decoded token over full jitted loops."""
+def per_token(fn, n_tokens, *args, repeats=3):
+    """min wall-clock per decoded token over full jitted loops.
+
+    ``args`` are passed through on every call — params/caches MUST be jit
+    ARGUMENTS, not closure constants: a closed-over 300 MB param tree
+    bakes into the HLO as literals and breaks the remote-compile
+    transport (broken pipe at ~30 min — found the hard way, r3)."""
     import jax.numpy as jnp
 
-    out = fn()  # compile + warm
+    out = fn(*args)  # compile + warm
     leaf = out
     while isinstance(leaf, (tuple, list)):
         leaf = leaf[0]
@@ -32,7 +37,7 @@ def per_token(fn, n_tokens, repeats=3):
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn()
+        out = fn(*args)
         leaf = out
         while isinstance(leaf, (tuple, list)):
             leaf = leaf[0]
@@ -80,11 +85,10 @@ def main():
         dec = SparseDecoder(m, s_max=s_max, bk=bk, **dec_kw)
         caches = dec.init_caches(b)
         _, caches = jax.jit(dec.prefill)(params, x, caches)
-        loop = jax.jit(lambda: dec.decode_loop(params, tok, caches,
-                                               n_new)[0])
-        ms = per_token(loop, n_new)
+        loop = jax.jit(lambda p, t, c: dec.decode_loop(p, t, c, n_new)[0])
+        ms = per_token(loop, n_new, params, tok, caches)
         rows.append((name, ms))
-        print(f"{name:>34}: {ms:.2f} ms/token")
+        print(f"{name:>34}: {ms:.2f} ms/token", flush=True)
         return params, dec, caches
 
     mh = model()
@@ -99,32 +103,33 @@ def main():
     # step to isolate the scatter-append cost vs the uniform loop
     act = jnp.ones((b,), bool)
 
-    def ragged_loop():
+    def ragged_loop(p, t, caches_in):
         def body(carry, _):
             xx, cc = carry
-            y, cc = dec.decode_step_ragged(params, xx, cc, act)
+            y, cc = dec.decode_step_ragged(p, xx, cc, act)
             return (y, cc), ()
 
-        (y, _), _ = jax.lax.scan(body, (tok, tuple(caches)), None,
+        (y, _), _ = jax.lax.scan(body, (t, tuple(caches_in)), None,
                                  length=n_new)
         return y
 
-    ms = per_token(jax.jit(ragged_loop), n_new)
+    ms = per_token(jax.jit(ragged_loop), n_new, params, tok, tuple(caches))
     rows.append(("bf16 KV, RAGGED decode", ms))
     print(f"{'bf16 KV, RAGGED decode':>34}: {ms:.2f} ms/token "
-          f"(scatter append; uniform is the fast path)")
+          f"(Pallas ragged-append kernel; uniform is the fast path)",
+          flush=True)
 
     # token-level generate (embed + head + top-k sampling in the loop)
     prompt = jnp.asarray(rng.randint(0, V, (b, P)))
     lm = SparseLM(core=model(), vocab_size=V)
     lp = lm.init(jax.random.PRNGKey(1), prompt)
     server = LMServer(lm, s_max=s_max, bk=bk, cache_dtype=jnp.bfloat16)
-    gen = jax.jit(lambda: server.generate(lp, prompt, n_new,
-                                          jax.random.PRNGKey(2),
-                                          temperature=0.8, top_k=40)[0])
-    ms = per_token(gen, n_new)
+    gen = jax.jit(lambda p, pr: server.generate(
+        p, pr, n_new, jax.random.PRNGKey(2), temperature=0.8, top_k=40)[0])
+    ms = per_token(gen, n_new, lp, prompt)
     rows.append(("LM generate (incl. prefill+sample)", ms))
-    print(f"{'LM generate (incl. prefill+sample)':>34}: {ms:.2f} ms/token")
+    print(f"{'LM generate (incl. prefill+sample)':>34}: {ms:.2f} ms/token",
+          flush=True)
 
     import json
     print(json.dumps({"config": dict(b=b, P=P, h=h, heads=heads,

@@ -1,0 +1,154 @@
+"""Analytic communication/compute model for the sharded sparse ops.
+
+The BASELINE north star asks for a multi-chip scaling-efficiency number
+(>= 80% nnz/s on 2+ devices); real multi-chip hardware is not reachable
+from this environment, so the claim is grounded three ways (see
+``benchmarks/scaling.py`` and RESULTS.md "Scaling"):
+
+  1. exact per-device ICI byte counts, derived from the SAME block
+     metadata the kernels execute (not estimates of the algorithm — the
+     actual ppermute slice sizes and psum payload shapes);
+  2. this closed-form projection combining those bytes with the measured
+     single-chip kernel time and public TPU link rates;
+  3. a measured 1-chip shard_map-machinery overhead on real hardware
+     (the only part of the distribution stack that can be priced without
+     a second chip).
+
+Collective cost conventions (standard ring algorithms, no overlap with
+compute — conservative):
+
+  * ``psum`` of a ``payload``-byte buffer over ``n`` devices moves
+    ``2 * payload * (n-1)/n`` bytes through each device's ICI port
+    (reduce-scatter + all-gather).
+  * a sliced ``ppermute`` halo shift moves exactly its slice bytes.
+  * ``all_gather`` of per-device shards moves ``payload_local * (n-1)``.
+
+Chip numbers are the public v5e figures (jax-ml.github.io/scaling-book):
+197 bf16 TFLOP/s, 819 GB/s HBM, 4.5e10 B/s one-way ICI per link.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+__all__ = ["Chip", "V5E", "psum_bytes", "all_gather_bytes",
+           "spmm_comm_bytes", "spmm_halo_comm_bytes",
+           "attention_comm_bytes", "project_scaling"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Chip:
+    name: str
+    bf16_flops: float          # peak MXU FLOP/s
+    hbm_bw: float              # bytes/s
+    ici_oneway: float          # bytes/s one-way per link
+
+
+V5E = Chip(name="v5e", bf16_flops=1.97e14, hbm_bw=8.19e11,
+           ici_oneway=4.5e10)
+
+
+def psum_bytes(payload_bytes: float, ndev: int) -> float:
+    """Per-device ICI bytes for one psum (ring reduce-scatter+all-gather)."""
+    if ndev <= 1:
+        return 0.0
+    return 2.0 * payload_bytes * (ndev - 1) / ndev
+
+
+def all_gather_bytes(local_bytes: float, ndev: int) -> float:
+    """Per-device ICI bytes to all-gather per-device shards."""
+    if ndev <= 1:
+        return 0.0
+    return float(local_bytes) * (ndev - 1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def spmm_comm_bytes(spec, q: int, *, itemsize: int = 4) -> dict:
+    """Per-device ICI bytes for ``sharded_spmm`` (replicated dense RHS).
+
+    Forward is communication-free; the backward's dense gradient is the
+    transposed product ``A^T @ G`` whose per-device partials psum to the
+    replicated ``[n_pad, q_pad]`` sum (``sharded_ops._local_spmm_t``).
+    """
+    ndev = spec.part.ndev
+    q_pad = _round_up(max(q, 1), 128)
+    payload = spec.n_pad * q_pad * itemsize
+    return {"fwd": 0.0, "bwd": psum_bytes(payload, ndev),
+            "payload_shapes": {"bwd_psum": (spec.n_pad, q_pad)}}
+
+
+def spmm_halo_comm_bytes(spec, n_loc: int, q: int, *,
+                         itemsize: int = 4) -> dict:
+    """Per-device ICI bytes for ``sharded_spmm_halo`` (row-sharded RHS).
+
+    Forward moves exactly the halo rows (``ShardedPanelSpec.halo_extents``,
+    derived from the block metadata) via sliced ppermute shifts, or falls
+    back to a dense all_gather when the halo spans the operand
+    (``sharded_ops._halo_plan``). The backward reverses the same shifts
+    (identical volume) for the dense grad.
+    """
+    ndev = spec.part.ndev
+    q_pad = _round_up(max(q, 1), 128)
+    lo, hi = spec.halo_extents(n_loc)
+    dense_fallback = lo + hi >= (ndev - 1) * n_loc
+    if dense_fallback:
+        fwd = all_gather_bytes(n_loc * q_pad * itemsize, ndev)
+        bwd = psum_bytes(spec.n_pad * q_pad * itemsize, ndev)
+    else:
+        fwd = (lo + hi) * q_pad * itemsize
+        bwd = fwd  # reverse ppermutes, same slice sizes (vjp of assembly)
+    return {"fwd": float(fwd), "bwd": float(bwd), "halo_rows": (lo, hi),
+            "dense_fallback": bool(dense_fallback)}
+
+
+def attention_comm_bytes(spec, hd: int, *, kv_replicas: int = 1,
+                         itemsize: int = 4) -> dict:
+    """Per-device ICI bytes for ``sparse_attention_sharded`` (and the
+    fused ``flash_attention_sharded`` — same collective structure).
+
+    Forward: none (q row-sharded, K/V replicated, scores stay local).
+    Backward: dk and dv are partial sums over the shared key axis — two
+    psums of ``[kv_replicas, n_pad, hd_pad]`` (``flash_sharded.
+    _flash_sh_bwd`` / the sddmm+spmm VJP pair). ``kv_replicas`` is the
+    K/V head-replica count — GQA divides it (group-sum happens locally
+    BEFORE the psum), which divides the whole backward comm bill.
+    """
+    ndev = spec.part.ndev
+    hd_pad = _round_up(max(hd, 1), 128)
+    payload = kv_replicas * spec.n_pad * hd_pad * itemsize
+    return {"fwd": 0.0, "bwd": 2.0 * psum_bytes(payload, ndev),
+            "payload_shapes": {
+                "dk_psum": (kv_replicas, spec.n_pad, hd_pad),
+                "dv_psum": (kv_replicas, spec.n_pad, hd_pad)}}
+
+
+def project_scaling(t1_ms: float, comm_bytes_per_dev: float,
+                    ndev: int, chip: Chip = V5E) -> dict:
+    """Closed-form scaling projection for one op invocation.
+
+    ``t1_ms``: measured single-chip kernel time for the full problem.
+    Per-device compute shrinks linearly (RowPartition balances nnz);
+    comm is serialized after compute (no overlap — conservative) at one
+    ICI link's one-way rate. Returns per-device time, efficiency
+    ``t1 / (ndev * t(ndev))`` (== nnz/s scaling efficiency, since nnz/s
+    = const / t), and the comm fraction.
+    """
+    t_comp = t1_ms / ndev
+    t_comm = comm_bytes_per_dev / chip.ici_oneway * 1e3
+    t = t_comp + t_comm
+    return {"ndev": ndev, "t_ms": t, "t_compute_ms": t_comp,
+            "t_comm_ms": t_comm,
+            "efficiency": t1_ms / (ndev * t) if ndev else 1.0,
+            "comm_fraction": t_comm / t if t else 0.0}
+
+
+def nnz_balance(part) -> dict:
+    """Per-device nnz counts from a RowPartition (load-balance report)."""
+    counts = np.array([s.nnz for s in part.shards], np.int64)
+    return {"per_device": counts.tolist(),
+            "max_over_mean": float(counts.max() / max(counts.mean(), 1.0))}

@@ -308,11 +308,11 @@ class SparseDecoder:
 
         The serving loop keeps every sequence at the same length, so the
         cache write position is ONE scalar: ``append_kv(..., pos=pos)``
-        is a single aliasable ``dynamic_update_slice`` (the per-replica
-        path lowers to a TPU scatter that costs more than the rest of the
-        step combined — see ``append_kv``), and the block table is
-        computed once per step, not per layer (``kv_len`` is identical
-        across layers)."""
+        is a single aliasable ``dynamic_update_slice`` (cheaper than even
+        the ragged-append kernel — see ``append_kv``), and the block
+        table is computed once per step, not per layer (``kv_len`` is
+        identical across layers). At capacity the write is a guarded
+        no-op (``kv_len`` pins at ``s_max``)."""
         # Shared across layers: scalar write position and the post-append
         # block table (every layer's cache has the same lengths).
         pos = caches[0].kv_len[0]

@@ -245,6 +245,13 @@ def tpu_mode():
         payload = ATTN_S * hd_pad * 4
         attn_mha = 2.0 * cm.psum_bytes(ATTN_R * payload, ndev)
         attn_gqa = 2.0 * cm.psum_bytes(1 * payload, ndev)
+        # K/V-sharded halo variant (flash_attention_kv_sharded): the halo
+        # row count is the window span (constant in s) — read it off the
+        # s=4096 banded partition (same ±256 window); fwd+bwd volumes per
+        # comm_model.attention_halo_comm_bytes
+        blo, bhi = bcomm["halo_rows"]
+        attn_halo_mha = 2.0 * 2.0 * (blo + bhi) * ATTN_R * hd_pad * 4
+        attn_halo_gqa = 2.0 * 2.0 * (blo + bhi) * 1 * hd_pad * 4
 
         proj[ndev] = {
             "spmm_fwd_random_replicated": cm.project_scaling(
@@ -263,6 +270,10 @@ def tpu_mode():
                 T1_ATTN_GRAD_MS, attn_mha, ndev),
             "attention_grad_s32k_gqa4": cm.project_scaling(
                 T1_ATTN_GRAD_MS, attn_gqa, ndev),
+            "attention_grad_s32k_mha_kvsharded": cm.project_scaling(
+                T1_ATTN_GRAD_MS, attn_halo_mha, ndev),
+            "attention_grad_s32k_gqa4_kvsharded": cm.project_scaling(
+                T1_ATTN_GRAD_MS, attn_halo_gqa, ndev),
             "banded_halo_rows": bcomm["halo_rows"],
         }
     print(json.dumps({

@@ -10,7 +10,8 @@ operands replicated or column-sharded, XLA collectives (``psum`` /
 """
 
 from .partition import RowPartition
-from .flash_sharded import ShardedFlashSpec, flash_attention_sharded
+from .flash_sharded import (ShardedFlashSpec, flash_attention_sharded,
+                            flash_attention_kv_sharded)
 from .pipeline import PipelineSpec, pipeline_apply, stack_stage_params
 from .serving_tp import TPDecoder
 from .sharded_compressed import (
@@ -39,6 +40,7 @@ __all__ = [
     "ShardedFlashSpec",
     "ShardedPanelSpec",
     "flash_attention_sharded",
+    "flash_attention_kv_sharded",
     "pipeline_apply",
     "stack_stage_params",
     "sharded_spmm",

@@ -127,6 +127,34 @@ def attention_comm_bytes(spec, hd: int, *, kv_replicas: int = 1,
                 "dv_psum": (kv_replicas, spec.n_pad, hd_pad)}}
 
 
+def attention_halo_comm_bytes(spec, hd: int, n_loc: int, *,
+                              kv_replicas: int = 1,
+                              itemsize: int = 4) -> dict:
+    """Per-device ICI bytes for ``flash_attention_kv_sharded`` (K/V
+    key-sharded, halo-exchanged — the zero-psum variant).
+
+    Forward: K and V each move their (lo, hi) halo rows via sliced
+    ppermute (``ShardedFlashSpec.halo_extents``). Backward: dk/dv route
+    back through the assembly's VJP — reverse ppermutes, identical
+    volume; dq needs the already-assembled buffers (no extra comm).
+    Comm is CONSTANT in sequence length (the structural fix for the
+    replicated-K/V psum priced by ``attention_comm_bytes``). Full-span
+    topologies fall back to all_gather.
+    """
+    ndev = spec.part.ndev
+    hd_pad = _round_up(max(hd, 1), 128)
+    plan = spec.halo_plan(n_loc)
+    row_bytes = kv_replicas * hd_pad * itemsize
+    if plan is None:
+        fwd = 2.0 * all_gather_bytes(n_loc * row_bytes, ndev)
+        return {"fwd": fwd, "bwd": fwd, "halo_rows": None,
+                "dense_fallback": True}
+    lo, hi = plan
+    fwd = 2.0 * (lo + hi) * row_bytes          # K and V
+    return {"fwd": float(fwd), "bwd": float(fwd), "halo_rows": (lo, hi),
+            "dense_fallback": False}
+
+
 def project_scaling(t1_ms: float, comm_bytes_per_dev: float,
                     ndev: int, chip: Chip = V5E) -> dict:
     """Closed-form scaling projection for one op invocation.

@@ -28,7 +28,8 @@ from ..ops._common import round_up as _round_up
 from ..ops.pallas import flash_sparse as fs
 from .partition import RowPartition
 
-__all__ = ["ShardedFlashSpec", "flash_attention_sharded"]
+__all__ = ["ShardedFlashSpec", "flash_attention_sharded",
+           "flash_attention_kv_sharded"]
 
 
 class ShardedFlashSpec:
@@ -88,6 +89,42 @@ class ShardedFlashSpec:
             (part.ndev, npart, bm, bk), np.float32)
         for d, m in enumerate(fmetas):
             self.pmask[d, : m["pmask"].shape[1]] = m["pmask"][0]
+
+    def halo_extents(self, n_loc: int):
+        """(lo, hi): max KEY rows any device's topology shard reaches
+        below/above its own ``n_loc``-row K/V band — the ragged K/V
+        exchange size for ``flash_attention_kv_sharded``. Same derivation
+        as ``ShardedPanelSpec.halo_extents`` (touched column blocks from
+        the stacked metadata), uniform over devices for static shapes."""
+        cache = getattr(self, "_halo_extents", None)
+        if cache is None:
+            cache = {}
+            self._halo_extents = cache
+        if n_loc in cache:
+            return cache[n_loc]
+        lo = hi = 0
+        ndev = self.part.ndev
+        for d in range(ndev):
+            cols = self.block_cols[d].reshape(self.mb, self.max_bpr)
+            nblk = self.nblocks[d]
+            touched = [int(cols[i, s]) for i in range(self.mb)
+                       for s in range(int(nblk[i]))]
+            if not touched:
+                continue
+            first = min(touched) * self.bk
+            last = (max(touched) + 1) * self.bk
+            lo = max(lo, d * n_loc - first)
+            hi = max(hi, last - (d + 1) * n_loc)
+        cache[n_loc] = (max(lo, 0), max(hi, 0))
+        return cache[n_loc]
+
+    def halo_plan(self, n_loc: int):
+        """(lo, hi) when the ragged exchange wins, else None (full-span
+        topology -> dense all_gather fallback)."""
+        lo, hi = self.halo_extents(n_loc)
+        if lo + hi >= (self.part.ndev - 1) * n_loc:
+            return None
+        return lo, hi
 
     def __hash__(self):
         return id(self)
@@ -268,3 +305,214 @@ def flash_attention_sharded(spec: ShardedFlashSpec, q_sh, k, v,
         scale = 1.0 / np.sqrt(q_sh.shape[-1])
     out = _flash_sh(spec, q_sh, k, v, float(scale), int(group))
     return out[:, :, : q_sh.shape[2], : q_sh.shape[-1]]
+
+
+# ---------------------------------------------------------------------------
+# K/V-SHARDED sequence parallelism: halo exchange instead of replication.
+#
+# The replicated-K/V path above pays a full [R_kv, n_pad, hd] psum for
+# dk/dv — quantified in benchmarks/scaling.py as THE structural scaling
+# cost of sp attention. For banded/windowed topologies (the long-context
+# design target) each query shard only reads a bounded band of keys, so
+# K/V can stay key-sharded and only the halo rows move (sliced ppermute
+# shifts, same machinery as sharded_ops._halo_assemble). The backward
+# needs NO psum at all: dk/dv partials live in the globally-indexed local
+# buffer and the halo assembly's own VJP (reverse ppermutes, identical
+# volume) routes overlapping halo contributions back to their owners.
+# Comm per step: 2 x (lo + hi) x hd rows each way vs the psum's
+# 2 x n_pad x hd x (ndev-1)/ndev — constant in sequence length.
+# ---------------------------------------------------------------------------
+
+
+def _assemble_kv(spec, x_sh, n_loc, plan):
+    """Differentiable halo assembly: x_sh [ndev, R_kv, n_loc, hd_pad]
+    key-sharded -> globally-indexed [ndev, R_kv, n_pad, hd_pad] holding
+    each device's own band plus its (lo, hi) halo rows. ``plan=None``
+    falls back to all_gather (full-span topology)."""
+    x = spec.axis
+    ndev = spec.part.ndev
+
+    if plan is None:
+        def local_g(xl):
+            full = jax.lax.all_gather(xl[0], x, axis=1, tiled=True)
+            R_kv, n_full, hd_pad = full.shape
+            buf = jnp.zeros((R_kv, spec.n_pad, hd_pad), full.dtype)
+            return buf.at[:, :min(n_full, spec.n_pad)].set(
+                full[:, : spec.n_pad])[None]
+
+        return _smap(spec, local_g, in_specs=P(x), out_specs=P(x))(x_sh)
+
+    lo, hi = plan
+    steps_lo, steps_hi = -(-lo // n_loc), -(-hi // n_loc)
+
+    def local(xl):
+        x_loc = xl[0]                        # [R_kv, n_loc, hd_pad]
+        R_kv, _, hd_pad = x_loc.shape
+        me = jax.lax.axis_index(x)
+        z = jnp.int32(0)
+        # + n_loc scratch rows absorb wrapped edge-device writes (their
+        # metadata never reads them; see sharded_ops._halo_assemble)
+        buf = jnp.zeros((R_kv, spec.n_pad + n_loc, hd_pad), x_loc.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, x_loc, (z, me * n_loc, z))
+        scratch = spec.n_pad
+        for k in range(1, steps_lo + 1):
+            take = min(n_loc, lo - (k - 1) * n_loc)
+            send = x_loc[:, n_loc - take:, :]
+            recv = jax.lax.ppermute(
+                send, x, [(j, (j + k) % ndev) for j in range(ndev)])
+            start = (me - k) * n_loc + (n_loc - take)
+            start = jnp.where(me >= k, start, scratch)
+            buf = jax.lax.dynamic_update_slice(buf, recv, (z, start, z))
+        for k in range(1, steps_hi + 1):
+            take = min(n_loc, hi - (k - 1) * n_loc)
+            send = x_loc[:, :take, :]
+            recv = jax.lax.ppermute(
+                send, x, [(j, (j - k) % ndev) for j in range(ndev)])
+            start = (me + k) * n_loc
+            start = jnp.where(me + k < ndev, start, scratch)
+            buf = jax.lax.dynamic_update_slice(buf, recv, (z, start, z))
+        return buf[:, : spec.n_pad][None]
+
+    return _smap(spec, local, in_specs=P(x), out_specs=P(x))(x_sh)
+
+
+def _fwd_sharded_kv(spec, q_p, kbuf, vbuf, group):
+    R = q_p.shape[1]
+    x = spec.axis
+
+    def local(cols, nblk, slot, part, pmask, q, kk, vv):
+        out, m, l = fs.flash_sparse_attention_fwd(
+            cols[0][None], nblk[0][None], slot[0][None], part[0][None],
+            pmask[0][None], q[0], kk[0], vv[0],
+            R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        return out[None], m[None], l[None]
+
+    fn = _smap(
+        spec, local,
+        in_specs=(P(x), P(x), P(x), P(x), P(x), P(x), P(x), P(x)),
+        out_specs=(P(x), P(x), P(x)),
+    )
+    return fn(*_meta_args(spec), q_p, kbuf, vbuf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+def _flash_sh_kv(spec, q_p, kbuf, vbuf, scale, group):
+    out, _, _ = _fwd_sharded_kv(spec, q_p, kbuf, vbuf, group)
+    return out
+
+
+def _flash_sh_kv_fwd(spec, q_p, kbuf, vbuf, scale, group):
+    out, m, l = _fwd_sharded_kv(spec, q_p, kbuf, vbuf, group)
+    return out, (q_p, kbuf, vbuf, out, m, l)
+
+
+def _flash_sh_kv_bwd(spec, scale, group, res, g):
+    q_p, kbuf, vbuf, out, m_st, l_st = res
+    R = q_p.shape[1]
+    x = spec.axis
+
+    stats = jnp.concatenate(
+        [m_st[:, :, :, :1], l_st[:, :, :, :1],
+         jnp.zeros(m_st.shape[:3] + (126,), jnp.float32)], axis=3)
+    d_rows = jnp.sum(g * out, axis=-1)
+    dcoef = jnp.broadcast_to(d_rows[..., None], d_rows.shape + (128,))
+
+    def local_dq(cols, nblk, slot, part, pmask, q, kk, vv, gg, st, dc):
+        dq = fs.flash_sparse_bwd_dq(
+            cols[0][None], nblk[0][None], slot[0][None], part[0][None],
+            pmask[0][None], q[0], kk[0], vv[0], gg[0], st[0], dc[0],
+            R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        return dq[None]
+
+    sh = (P(x),) * 5
+    dq_p = _smap(
+        spec, local_dq,
+        in_specs=sh + (P(x), P(x), P(x), P(x), P(x), P(x)),
+        out_specs=P(x),
+    )(*_meta_args(spec), q_p, kbuf, vbuf, g, stats, dcoef)
+
+    def local_dkv(ti, tn, tsl, tpt, pmask, q, kk, vv, gg, st, dc):
+        dk, dv = fs.flash_sparse_bwd_dkv(
+            ti[0][None], tn[0][None], tsl[0][None], tpt[0][None],
+            pmask[0][None], q[0], kk[0], vv[0], gg[0], st[0], dc[0],
+            R=R, heads=R, kb=spec.kb, max_bpc=spec.max_bpc,
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        if group > 1:
+            dk = dk.reshape(R // group, group, *dk.shape[1:]).sum(axis=1)
+            dv = dv.reshape(R // group, group, *dv.shape[1:]).sum(axis=1)
+        # NO psum: partials stay in this device's globally-indexed buffer
+        # coords; the halo assembly's VJP (outside this custom_vjp) sums
+        # overlapping halo contributions via reverse ppermutes.
+        return dk[None], dv[None]
+
+    dk_b, dv_b = _smap(
+        spec, local_dkv,
+        in_specs=sh + (P(x), P(x), P(x), P(x), P(x), P(x)),
+        out_specs=(P(x), P(x)),
+    )(*_t_meta_args(spec), q_p, kbuf, vbuf, g, stats, dcoef)
+
+    # dq is w.r.t. q_p, which the PUBLIC fn already pre-scaled — the
+    # outer scale chain rule happens outside this custom_vjp (unlike
+    # _flash_sh, whose _prep scales INSIDE the vjp boundary)
+    return dq_p.astype(q_p.dtype), dk_b.astype(kbuf.dtype), \
+        dv_b.astype(vbuf.dtype)
+
+
+_flash_sh_kv.defvjp(_flash_sh_kv_fwd, _flash_sh_kv_bwd)
+
+
+def flash_attention_kv_sharded(spec: ShardedFlashSpec, q_sh, k_sh, v_sh,
+                               scale=None, group: int = 1):
+    """Sequence-parallel fused sparse attention with K/V SHARDED over the
+    same axis as the queries — the zero-psum variant.
+
+    ``q_sh [ndev, R, s_loc_q, hd]`` query-sharded (partition row order);
+    ``k_sh, v_sh [ndev, R_kv, s_loc_k, hd]`` KEY-sharded in natural order
+    (device d owns key rows ``[d * n_loc, d * n_loc + s_loc_k)``), with
+    ``R_kv = R // group`` (GQA). Each device fetches only the halo key
+    rows its topology shard touches (``spec.halo_extents``); full-span
+    topologies fall back to all_gather. The backward is psum-free: dk/dv
+    flow back through the halo assembly's VJP. Returns query-sharded
+    ``[ndev, R, s_loc_q, hd]``.
+
+    Use this for banded/windowed long-context topologies with
+    ``RowPartition(balance=False)`` (contiguous query bands — a balanced
+    permutation scatters rows and forces the all_gather fallback)."""
+    ndev, R = q_sh.shape[0], q_sh.shape[1]
+    R_kv = k_sh.shape[1]
+    if group < 1 or R % group:
+        raise ValueError(f"group {group} must divide replicas {R}")
+    if R_kv != R // group or v_sh.shape[1] != R_kv:
+        raise ValueError(
+            f"k/v replicas {R_kv}/{v_sh.shape[1]} != R // group "
+            f"{R // group}")
+    if k_sh.shape[0] != ndev or v_sh.shape[0] != ndev:
+        raise ValueError("k/v must carry the ndev axis (key-sharded)")
+    if spec.n_pad % ndev:
+        raise ValueError(
+            f"key padding n_pad={spec.n_pad} must divide over ndev="
+            f"{ndev} for key sharding (pad s or change bk)")
+    n_loc = spec.n_pad // ndev
+    if k_sh.shape[2] > n_loc:
+        raise ValueError(f"per-device key rows {k_sh.shape[2]} > {n_loc}")
+    hd = q_sh.shape[-1]
+    hd_pad = _round_up(max(hd, 1), 128)
+    # Python float (weak type): a np.float64 scalar would promote the
+    # f32 q under x64 and warn/copy on the padded .set
+    scale = float(scale) if scale is not None else float(hd) ** -0.5
+
+    kp = jnp.zeros((ndev, R_kv, n_loc, hd_pad), k_sh.dtype)
+    kp = kp.at[:, :, : k_sh.shape[2], :hd].set(k_sh)
+    vp = jnp.zeros((ndev, R_kv, n_loc, hd_pad), v_sh.dtype)
+    vp = vp.at[:, :, : v_sh.shape[2], :hd].set(v_sh)
+    plan = spec.halo_plan(n_loc)
+    kbuf = _assemble_kv(spec, kp, n_loc, plan)
+    vbuf = _assemble_kv(spec, vp, n_loc, plan)
+
+    q_p = jnp.zeros((ndev, R, spec.m_pad_loc, hd_pad), q_sh.dtype)
+    q_p = q_p.at[:, :, : q_sh.shape[2], :hd].set(q_sh * scale)
+
+    out = _flash_sh_kv(spec, q_p, kbuf, vbuf, float(scale), int(group))
+    return out[:, :, : q_sh.shape[2], :hd]

@@ -134,3 +134,99 @@ def test_sharded_flash_gqa_validation(mesh):
         flash_attention_sharded(spec, q_sh, kv, kv, group=3)  # 3 !| 4
     with pytest.raises(ValueError):
         flash_attention_sharded(spec, q_sh, kv, kv, group=2)  # kv not R/2
+
+
+def _window_mask(s, w):
+    i = np.arange(s)[:, None]
+    j = np.arange(s)[None, :]
+    return ((j <= i) & (j > i - w)).astype(np.float32)
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_kv_sharded_halo_matches_dense(mesh, group):
+    """K/V-sharded halo attention (zero-psum backward) == dense reference
+    on a banded topology, fwd + all grads, incl. GQA grouping."""
+    from sputnik_tpu.parallel.flash_sharded import (
+        flash_attention_kv_sharded)
+
+    rng = np.random.RandomState(7)
+    s, hd, R = 1024, 16, 2 * group
+    R_kv = R // group
+    mask = _window_mask(s, 96)           # causal band
+    part = RowPartition(st.SparseTopology.from_dense_mask(mask), NDEV,
+                        bm=8, balance=False)
+    spec = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh, axis="sp")
+    assert spec.halo_plan(spec.n_pad // NDEV) is not None  # ragged path
+    n_loc = s // NDEV
+
+    q = rng.randn(R, s, hd).astype(np.float32)
+    k = rng.randn(R_kv, s, hd).astype(np.float32)
+    v = rng.randn(R_kv, s, hd).astype(np.float32)
+    q_sh = jnp.asarray(q.reshape(R, NDEV, n_loc, hd).transpose(1, 0, 2, 3))
+    k_sh = jnp.asarray(k.reshape(R_kv, NDEV, n_loc, hd).transpose(1, 0, 2, 3))
+    v_sh = jnp.asarray(v.reshape(R_kv, NDEV, n_loc, hd).transpose(1, 0, 2, 3))
+
+    out = jax.jit(lambda a, b, c: flash_attention_kv_sharded(
+        spec, a, b, c, group=group))(q_sh, k_sh, v_sh)
+    got = np.asarray(out).transpose(1, 0, 2, 3).reshape(R, s, hd)
+    mask_r = np.broadcast_to(mask, (R, s, s))
+    ref = _dense_ref(mask_r, q, np.repeat(k, group, 0),
+                     np.repeat(v, group, 0))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    gq, gk, gv = jax.jit(jax.grad(
+        lambda a, b, c: jnp.sum(flash_attention_kv_sharded(
+            spec, a, b, c, group=group) ** 2),
+        argnums=(0, 1, 2)))(q_sh, k_sh, v_sh)
+    assert gk.shape == k_sh.shape and gv.shape == v_sh.shape
+
+    def dense(qq, kk, vv):
+        kf = jnp.repeat(kk, group, axis=0)
+        vf = jnp.repeat(vv, group, axis=0)
+        scd = jnp.einsum("rqd,rkd->rqk", qq, kf) / np.sqrt(hd)
+        scd = jnp.where(jnp.asarray(mask) != 0, scd, -1e30)
+        wd = jax.nn.softmax(scd, axis=-1) * (jnp.asarray(mask) != 0)
+        return jnp.einsum("rqk,rkd->rqd", wd, vf)
+
+    gq_d, gk_d, gv_d = jax.grad(
+        lambda a, b, c: jnp.sum(dense(a, b, c) ** 2),
+        argnums=(0, 1, 2))(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    gq_got = np.asarray(gq).transpose(1, 0, 2, 3).reshape(R, s, hd)
+    gk_got = np.asarray(gk).transpose(1, 0, 2, 3).reshape(R_kv, s, hd)
+    gv_got = np.asarray(gv).transpose(1, 0, 2, 3).reshape(R_kv, s, hd)
+    np.testing.assert_allclose(gq_got, np.asarray(gq_d), atol=1e-2)
+    np.testing.assert_allclose(gk_got, np.asarray(gk_d), atol=1e-2)
+    np.testing.assert_allclose(gv_got, np.asarray(gv_d), atol=1e-2)
+
+
+def test_kv_sharded_fallback_full_span(mesh):
+    """Full-causal topology: halo spans the operand -> all_gather
+    fallback, results still exact."""
+    from sputnik_tpu.parallel.flash_sharded import (
+        flash_attention_kv_sharded)
+
+    rng = np.random.RandomState(8)
+    s, hd, R = 320, 16, 2
+    mask = np.tril(np.ones((s, s), np.float32))
+    part = RowPartition(st.SparseTopology.from_dense_mask(mask), NDEV,
+                        bm=8, balance=False)
+    spec = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh, axis="sp")
+    n_loc = spec.n_pad // NDEV
+    assert spec.halo_plan(n_loc) is None
+    q = rng.randn(R, s, hd).astype(np.float32)
+    kv = rng.randn(R, s, hd).astype(np.float32)
+    # s == 320 < n_pad == 384: keys live in the first s rows globally;
+    # device d owns global key rows [d * n_loc, (d+1) * n_loc)
+    k_rows = np.zeros((R, NDEV * n_loc, hd), np.float32)
+    k_rows[:, :s] = kv
+    k_sh = jnp.asarray(
+        k_rows.reshape(R, NDEV, n_loc, hd).transpose(1, 0, 2, 3))
+    n_loc_q = s // NDEV
+    q_sh = jnp.asarray(
+        q.reshape(R, NDEV, n_loc_q, hd).transpose(1, 0, 2, 3))
+
+    out = jax.jit(lambda a, b, c: flash_attention_kv_sharded(
+        spec, a, b, c))(q_sh, k_sh, k_sh)
+    got = np.asarray(out).transpose(1, 0, 2, 3).reshape(R, s, hd)
+    ref = _dense_ref(np.broadcast_to(mask, (R, s, s)), q, kv, kv)
+    np.testing.assert_allclose(got, ref, atol=1e-4)

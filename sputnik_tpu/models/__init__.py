@@ -4,6 +4,7 @@ from .lm import (LMServer, SparseLM, apply_repetition_penalty,
                  sample_logits)
 from .moe import SparseMoE
 from .serving import SparseDecoder
+from .serving_paged import PagedDecoder
 from .transformer import (
     MLP,
     SparseCoreAttention,
@@ -18,6 +19,7 @@ __all__ = [
     "SparseAttention",
     "SparseCoreAttention",
     "SparseDecoder",
+    "PagedDecoder",
     "SparseLM",
     "SparseLinear",
     "SparseMoE",

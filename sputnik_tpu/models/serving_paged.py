@@ -1,0 +1,189 @@
+"""Paged serving runtime: SparseDecoder with a shared KV page pool.
+
+``PagedDecoder`` keeps the whole SparseDecoder surface (prefill through
+the fused-flash prompt pass, jit-able decode steps, GQA, sinks+window
+tables, bf16/int8 KV) but stores KV in per-layer page pools
+(``ops/paged.py``) instead of per-slot contiguous buffers: HBM waste for
+a ragged batch drops from ``sum(s_max - len)`` tokens to under one page
+per (slot, kv-head, layer), and slots admit/evict without copying cache
+data — the vLLM memory model, TPU-native.
+
+Scheduling contract (the standard split): ``reserve(caches, n)`` is a
+HOST step that allocates pages for the next ``n`` tokens (call it between
+jitted decode segments — page allocation is control flow); the decode
+step itself is fully jit-able. ``release(caches, slot)`` returns a
+finished sequence's pages to the pools.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import paged as pg
+from ..ops.decode import decode_block_table
+from .serving import SparseDecoder
+
+__all__ = ["PagedDecoder"]
+
+
+class PagedDecoder(SparseDecoder):
+    """Generation runtime over a page pool.
+
+    Args (beyond SparseDecoder's):
+      n_pages: pool capacity per layer, in pages of ``bk`` tokens,
+        SHARED by all ``batch * kv_heads`` replicas. Size it as
+        ``ceil(expected_total_tokens / bk) + batch * kv_heads`` (one
+        partially-filled page per replica).
+      s_max here is the per-sequence LENGTH CAP (table width), not a
+        per-slot reservation — memory scales with tokens written, not
+        with the cap.
+    """
+
+    def __init__(self, model, *, n_pages: int, s_max: int, bk: int = 256,
+                 window=None, sinks: int = 0, cache_dtype=jnp.bfloat16):
+        super().__init__(model, s_max=s_max, bk=bk, window=window,
+                         sinks=sinks, cache_dtype=cache_dtype)
+        self.n_pages = n_pages
+        self.pools: List[pg.PagePool] = []
+
+    # -- cache management ---------------------------------------------------
+
+    def init_caches(self, batch: int) -> Tuple[pg.PagedKVCache, ...]:
+        """One pooled cache per layer (allocators live on the decoder)."""
+        R_kv = batch * self.kv_heads
+        caches, self.pools = [], []
+        for _ in range(self.model.num_layers):
+            c, pool = pg.init_paged_cache(
+                R_kv, self.n_pages, self.bk, self.hd, self.nb,
+                dtype=self.cache_dtype)
+            caches.append(c)
+            self.pools.append(pool)
+        return tuple(caches)
+
+    def reserve(self, caches: Sequence[pg.PagedKVCache],
+                n_tokens: int = 1) -> Tuple[pg.PagedKVCache, ...]:
+        """HOST scheduler step: allocate pages for the next ``n_tokens``
+        appends on every layer. Call between jitted decode segments."""
+        return tuple(pg.ensure_pages(c, pool, n_tokens)
+                     for c, pool in zip(caches, self.pools))
+
+    def release(self, caches: Sequence[pg.PagedKVCache],
+                slot: int) -> Tuple[pg.PagedKVCache, ...]:
+        """Evict a finished sequence: free its pages on every layer."""
+        return tuple(pg.free_pages_of(c, pool, slot,
+                                      kv_heads=self.kv_heads)
+                     for c, pool in zip(caches, self.pools))
+
+    @property
+    def free_pages(self) -> List[int]:
+        return [p.free_pages for p in self.pools]
+
+    # -- prefill --------------------------------------------------------------
+
+    def prefill(self, params, x, caches, reduce_fn=None, lengths=None):
+        """Prompt pass (same fused-flash attention as SparseDecoder) with
+        each layer's K/V bulk-written into its pool pages. The prompt
+        length must be a multiple of ``bk`` (pad the batch; ``lengths``
+        marks the real extents)."""
+        m = self.model
+        b, T, _ = x.shape
+        if T % self.bk:
+            raise ValueError(f"prompt length {T} must pad to bk={self.bk}")
+        caches = self.reserve(caches, T)   # pages for the whole prompt
+        len_r = None if lengths is None else jnp.repeat(
+            jnp.asarray(lengths, jnp.int32), self.kv_heads)
+        core = self._prefill_spec(T)
+        scale = 1.0 / float(np.sqrt(self.hd))
+
+        from ..ops import batched_panel as bp
+        from ..ops.fused_attention import fused_sparse_attention
+
+        new_caches = []
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+
+            def attn(q, k, v):
+                if self.group > 1:
+                    k = jnp.repeat(k, self.group, axis=2)
+                    v = jnp.repeat(v, self.group, axis=2)
+                q3, k3, v3 = self._fold(q), self._fold(k), self._fold(v)
+                if m.attention_layout == "panel" or T < 128:
+                    s_ = bp.sddmm_bh(core, q3, k3) * scale
+                    w = bp.sparse_softmax_bh(core, s_)
+                    ctx = bp.spmm_bh(core, w, v3)
+                else:
+                    ctx = fused_sparse_attention(core, q3, k3, v3,
+                                                 scale=scale)
+                ctx = ctx.reshape(b, m.num_heads, T, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, T, m.num_heads * self.hd)
+
+            x, (k, v) = self._block(lp, x, attn, reduce_fn=reduce_fn)
+            cache = caches[i]
+            pages = np.asarray(cache.page_table)[:, : T // self.bk]
+            new_caches.append(pg.write_prompt_pages(
+                cache, self._fold(k), self._fold(v),
+                replica_pages=pages, lengths=len_r))
+        return x, tuple(new_caches)
+
+    # -- decode ----------------------------------------------------------------
+
+    def decode_step(self, params, x_tok, caches, active=None,
+                    reduce_fn=None):
+        """One token per sequence (jit-able; run ``reserve`` first).
+
+        Paged appends are per-replica by construction (each replica's
+        current page differs), so uniform and ragged batches share this
+        one step; ``active`` freezes finished slots exactly like the
+        contiguous ragged step. Returns ``(y [b, 1, h], caches)``."""
+        m = self.model
+        b = x_tok.shape[0]
+        scale = 1.0 / float(np.sqrt(self.hd))
+        act_r = None
+        if active is not None:
+            act_r = jnp.repeat(jnp.asarray(active).astype(jnp.int32),
+                               self.kv_heads)
+        adv = act_r if act_r is not None else 1
+        kv_len1 = jnp.minimum(caches[0].kv_len + adv,
+                              self.nb * self.bk)
+        logical, valid0 = decode_block_table(
+            kv_len1, s_max=self.s_max, bk=self.bk,
+            window_blocks=self.window_blocks,
+            sink_blocks=self.sink_blocks)
+
+        new_caches = []
+        x = x_tok
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+            cache = caches[i]
+
+            def attn(q, k, v):
+                nonlocal cache
+                cache = pg.append_paged(cache, self._fold(k)[:, 0],
+                                        self._fold(v)[:, 0], active=act_r)
+                phys = jnp.take_along_axis(
+                    cache.page_table,
+                    jnp.clip(logical, 0, cache.max_blocks - 1), axis=1)
+                valid = valid0 * (phys >= 0).astype(jnp.int32)
+                phys = jnp.where(valid == 1, phys, cache.dump_page)
+                ctx = pg.paged_attention(
+                    self._fold(q), cache, phys, logical, valid,
+                    group=self.group, scale=scale)       # [R, 1, hd]
+                ctx = ctx.reshape(b, m.num_heads, 1, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, 1, m.num_heads * self.hd)
+
+            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
+            new_caches.append(cache)
+        return x, tuple(new_caches)
+
+    # paged serving is single-token; the contiguous decoder keeps the
+    # speculative (qlen > 1) and scan-loop fast paths
+    def decode_step_ragged(self, params, x_tok, caches, active=None,
+                           reduce_fn=None):
+        return self.decode_step(params, x_tok, caches, active=active,
+                                reduce_fn=reduce_fn)

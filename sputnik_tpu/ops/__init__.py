@@ -1,4 +1,5 @@
 from . import decode
+from . import paged
 from . import int8_api as int8
 from . import panel_api as panel
 from .api import (

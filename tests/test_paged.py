@@ -1,0 +1,264 @@
+"""Paged KV cache: allocator, kernels, and PagedDecoder == SparseDecoder.
+
+The oracle for the whole feature is the CONTIGUOUS serving path: paging
+changes where bytes live, never what attention computes, so a paged
+decoder must reproduce the block-cache decoder's outputs exactly (same
+params, same tokens). Kernel-level tests force the Pallas path in
+interpret mode; the allocator/eviction tests exercise the host
+scheduler half.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sputnik_tpu as st
+from sputnik_tpu.models.serving import SparseDecoder
+from sputnik_tpu.models.serving_paged import PagedDecoder
+from sputnik_tpu.models.transformer import SparseTransformer
+from sputnik_tpu.ops import paged as pg
+
+H, HEADS, LAYERS, FFN = 32, 2, 2, 48
+
+
+def _model(b, s, **kw):
+    masks = np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                            (b, s, s)).copy()
+    return SparseTransformer.from_masks(
+        masks, num_layers=LAYERS, hidden_size=H, num_heads=HEADS,
+        ffn_hidden_size=FFN, use_residual=True, use_layernorm=True,
+        activation="gelu", **kw)
+
+
+# -- allocator ----------------------------------------------------------------
+
+
+def test_page_pool_alloc_free():
+    pool = pg.PagePool(4)
+    a = pool.allocate(3)
+    assert len(set(a)) == 3 and pool.free_pages == 1
+    with pytest.raises(RuntimeError):
+        pool.allocate(2)
+    pool.free(a[:2])
+    assert pool.free_pages == 3
+    with pytest.raises(ValueError):
+        pool.free([99])
+
+
+def test_ensure_pages_and_capacity():
+    cache, pool = pg.init_paged_cache(2, n_pages=4, bk=128, hd=16,
+                                      max_blocks=2)
+    cache = pg.ensure_pages(cache, pool, 1)
+    tbl = np.asarray(cache.page_table)
+    assert (tbl[:, 0] >= 0).all() and (tbl[:, 1] == -1).all()
+    assert pool.free_pages == 2
+    # advancing past max_blocks * bk must raise at reserve time
+    cache = dataclasses.replace(
+        cache, kv_len=jnp.asarray([2 * 128 - 1, 0], jnp.int32))
+    with pytest.raises(ValueError):
+        pg.ensure_pages(cache, pool, 2)
+
+
+# -- kernels ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16, jnp.int8])
+def test_paged_append_kernel_parity(dtype):
+    R, bk, hd = 4, 128, 24
+    cache, pool = pg.init_paged_cache(R, n_pages=8, bk=bk, hd=hd,
+                                      max_blocks=2, dtype=dtype)
+    rng = np.random.RandomState(0)
+    # ragged lengths incl. a page boundary and a frozen slot
+    cache = dataclasses.replace(
+        cache, kv_len=jnp.asarray([0, 127, 128, 37], jnp.int32))
+    cache = pg.ensure_pages(cache, pool, 1)
+    k_new = jnp.asarray(rng.randn(R, hd).astype(np.float32))
+    v_new = jnp.asarray(rng.randn(R, hd).astype(np.float32))
+    active = jnp.asarray([1, 1, 1, 0], jnp.int32)
+
+    st.set_backend("xla")
+    try:
+        want = pg.append_paged(cache, k_new, v_new, active=active)
+    finally:
+        st.set_backend("auto")
+    st.set_backend("pallas")
+    try:
+        got = pg.append_paged(cache, k_new, v_new, active=active)
+    finally:
+        st.set_backend("auto")
+    for name in ("k", "v", "k_scale", "v_scale", "kv_len"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name), np.float32),
+            np.asarray(getattr(want, name), np.float32), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(got.kv_len), [1, 128, 129, 37])
+    # frozen replica's page is untouched
+    tbl = np.asarray(cache.page_table)
+    np.testing.assert_array_equal(np.asarray(got.k[tbl[3, 0]]),
+                                  np.asarray(cache.k[tbl[3, 0]]))
+
+
+def test_paged_append_unallocated_guard():
+    """No page for the write position -> pool bit-identical, no advance."""
+    cache, pool = pg.init_paged_cache(2, n_pages=4, bk=128, hd=16,
+                                      max_blocks=2)
+    cache = pg.ensure_pages(cache, pool, 1)
+    # replica 1 sits exactly at a page boundary with block 1 unallocated
+    cache = dataclasses.replace(
+        cache, kv_len=jnp.asarray([5, 128], jnp.int32))
+    k_new = jnp.ones((2, 16))
+    for backend in ("xla", "pallas"):
+        st.set_backend(backend)
+        try:
+            out = pg.append_paged(cache, k_new, k_new)
+        finally:
+            st.set_backend("auto")
+        np.testing.assert_array_equal(np.asarray(out.kv_len), [6, 128])
+        # replica 1 wrote nothing anywhere
+        tbl = np.asarray(cache.page_table)
+        np.testing.assert_array_equal(np.asarray(out.k[tbl[1, 0]]),
+                                      np.asarray(cache.k[tbl[1, 0]]))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+def test_paged_attention_kernel_parity(dtype):
+    """Kernel (interpret) vs jnp oracle on ragged pooled sequences."""
+    R_kv, bk, hd, group = 3, 128, 32, 2
+    R = R_kv * group
+    cache, pool = pg.init_paged_cache(R_kv, n_pages=12, bk=bk, hd=hd,
+                                      max_blocks=4, dtype=dtype)
+    rng = np.random.RandomState(1)
+    lengths = np.array([130, 37, 512])
+    cache = dataclasses.replace(
+        cache, kv_len=jnp.asarray(lengths, jnp.int32))
+    cache = pg.ensure_pages(cache, pool, 0)
+    # fill allocated pages with data (host write through the table)
+    tbl = np.asarray(cache.page_table)
+    k_np = np.asarray(cache.k, np.float32).copy()
+    v_np = np.asarray(cache.v, np.float32).copy()
+    ks_np = np.asarray(cache.k_scale).copy()
+    vs_np = np.asarray(cache.v_scale).copy()
+    for r in range(R_kv):
+        for b in range((lengths[r] + bk - 1) // bk):
+            page = tbl[r, b]
+            tokens = rng.randn(bk, hd).astype(np.float32)
+            if dtype == jnp.int8:
+                sc = np.maximum(np.abs(tokens).max(-1), 1e-30) / 127.0
+                k_np[page, :, :hd] = np.clip(
+                    np.round(tokens / sc[:, None]), -127, 127)
+                v_np[page, :, :hd] = k_np[page, :, :hd][::-1]
+                ks_np[page] = sc
+                vs_np[page] = sc[::-1]
+            else:
+                k_np[page, :, :hd] = tokens
+                v_np[page, :, :hd] = tokens[::-1]
+    cache = dataclasses.replace(
+        cache,
+        k=jnp.asarray(k_np.astype(np.int8) if dtype == jnp.int8
+                      else k_np, dtype),
+        v=jnp.asarray(v_np.astype(np.int8) if dtype == jnp.int8
+                      else v_np, dtype),
+        k_scale=jnp.asarray(ks_np), v_scale=jnp.asarray(vs_np))
+
+    phys, logical, valid = pg.paged_block_table(cache, window_blocks=4)
+    q = jnp.asarray(rng.randn(R, 1, hd).astype(np.float32))
+
+    st.set_backend("xla")
+    try:
+        want = pg.paged_attention(q, cache, phys, logical, valid,
+                                  group=group)
+    finally:
+        st.set_backend("auto")
+    st.set_backend("pallas")
+    try:
+        got = pg.paged_attention(q, cache, phys, logical, valid,
+                                 group=group)
+    finally:
+        st.set_backend("auto")
+    # bf16: the kernel casts q to the pool dtype before the MXU dot, the
+    # oracle contracts in f32 — small relative drift. int8: the kernel
+    # quantizes q and p rows in-kernel (true int8 MXU path), the oracle
+    # dequantizes the pool — ~1/127-scale noise.
+    if dtype == jnp.int8:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-1, atol=2e-2)
+    else:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=5e-3)
+
+
+# -- end-to-end ---------------------------------------------------------------
+
+
+def test_paged_decoder_matches_contiguous():
+    """PagedDecoder == SparseDecoder on the same params/tokens (paging
+    must change storage only), through prefill + ragged decode with a
+    freeze, f32 exactness."""
+    b, P = 2, 128
+    model = _model(b, P)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((b, P, H)))
+    rng = np.random.RandomState(2)
+    prompts = jnp.asarray(rng.randn(b, P, H).astype(np.float32) * 0.3)
+    toks = jnp.asarray(rng.randn(3, b, 1, H).astype(np.float32) * 0.3)
+
+    ref_dec = SparseDecoder(model, s_max=P + 128, bk=128,
+                            cache_dtype=jnp.float32)
+    ref_caches = ref_dec.init_caches(b)
+    y_ref, ref_caches = ref_dec.prefill(params, prompts, ref_caches)
+
+    dec = PagedDecoder(model, n_pages=3 * b * HEADS, s_max=P + 128,
+                       bk=128, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    y, caches = dec.prefill(params, prompts, caches)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    actives = [np.array([True, True]), np.array([True, False]),
+               np.array([True, True])]
+    for t, act in enumerate(actives):
+        caches = dec.reserve(caches, 1)
+        y, caches = dec.decode_step(params, toks[t], caches,
+                                    active=jnp.asarray(act))
+        y_ref, ref_caches = ref_dec.decode_step_ragged(
+            params, toks[t], ref_caches, active=jnp.asarray(act))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"t={t}")
+
+
+def test_paged_eviction_reuses_pages():
+    """release() returns pages; a new sequence admitted into the freed
+    slot reuses them and decodes correctly."""
+    b, P = 2, 128
+    model = _model(b, P)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((b, P, H)))
+    rng = np.random.RandomState(3)
+    prompts = jnp.asarray(rng.randn(b, P, H).astype(np.float32) * 0.3)
+
+    # pool sized so both slots BARELY fit: eviction must be what makes
+    # room for the re-admission
+    dec = PagedDecoder(model, n_pages=2 * b * HEADS, s_max=P + 128,
+                       bk=128, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    _, caches = dec.prefill(params, prompts, caches)
+    free0 = dec.free_pages[0]
+    caches = dec.reserve(caches, 1)    # decode pages for both slots
+    assert dec.free_pages[0] < free0 or free0 == 0
+
+    # finish slot 0, release, re-admit: table row blanks and pool grows
+    caches = dec.release(caches, 0)
+    assert dec.free_pages[0] >= b  # slot 0's pages came back (per layer)
+    tbl = np.asarray(caches[0].page_table)
+    assert (tbl[: HEADS] == -1).all()
+    assert int(caches[0].kv_len[0]) == 0
+
+    # fresh prompt into slot 0 via a fresh batch=1 paged prefill on the
+    # SAME pools is out of scope (pools are per-decoder); instead verify
+    # the freed slot can grow again through reserve + append
+    caches = dec.reserve(caches, 1)
+    tok = jnp.asarray(rng.randn(b, 1, H).astype(np.float32) * 0.3)
+    y, caches = dec.decode_step(params, tok, caches)
+    assert np.isfinite(np.asarray(y)).all()
+    assert int(caches[0].kv_len[0]) == 1          # restarted from zero
+    assert int(caches[0].kv_len[HEADS]) == P + 1  # slot 1 kept going

@@ -78,6 +78,16 @@ class PagedDecoder(SparseDecoder):
                                       kv_heads=self.kv_heads)
                      for c, pool in zip(caches, self.pools))
 
+    def share_prefix(self, caches: Sequence[pg.PagedKVCache], src: int,
+                     dst: int, n_tokens: int) -> Tuple[pg.PagedKVCache, ...]:
+        """Prefix caching (host step): admit slot ``dst`` with slot
+        ``src``'s first ``n_tokens`` (system prompt / shared context) —
+        full pages are refcount-shared, only a partial tail page copies.
+        ``dst`` must be released first."""
+        return tuple(pg.share_prefix(c, pool, src, dst, n_tokens,
+                                     kv_heads=self.kv_heads)
+                     for c, pool in zip(caches, self.pools))
+
     @property
     def free_pages(self) -> List[int]:
         return [p.free_pages for p in self.pools]

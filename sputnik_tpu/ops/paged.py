@@ -59,6 +59,7 @@ class PagePool:
     def __init__(self, n_pages: int):
         self.n_pages = n_pages
         self._free: List[int] = list(range(n_pages - 1, -1, -1))
+        self._rc = np.zeros(n_pages, np.int32)   # 0 = free
 
     @property
     def free_pages(self) -> int:
@@ -69,13 +70,30 @@ class PagePool:
             raise RuntimeError(
                 f"page pool exhausted: want {n}, have {len(self._free)} "
                 f"of {self.n_pages} (evict finished sequences first)")
-        return [self._free.pop() for _ in range(n)]
+        ids = [self._free.pop() for _ in range(n)]
+        for i in ids:
+            self._rc[i] = 1
+        return ids
+
+    def share(self, ids) -> None:
+        """Bump refcounts (prefix caching: several sequences' tables point
+        at the same immutable full pages)."""
+        for i in ids:
+            if self._rc[i] <= 0:
+                raise ValueError(f"sharing unallocated page {i}")
+            self._rc[i] += 1
 
     def free(self, ids) -> None:
+        """Drop one reference per id; a page returns to the free list only
+        when its last reference goes."""
         for i in ids:
             if not 0 <= i < self.n_pages:
                 raise ValueError(f"freeing foreign page id {i}")
-            self._free.append(int(i))
+            if self._rc[i] <= 0:
+                raise ValueError(f"double free of page {i}")
+            self._rc[i] -= 1
+            if self._rc[i] == 0:
+                self._free.append(int(i))
 
 
 @jax.tree_util.register_dataclass
@@ -151,7 +169,9 @@ def ensure_pages(cache: PagedKVCache, pool: PagePool,
             raise ValueError(
                 f"replica {r} needs block {last} >= max_blocks "
                 f"{table.shape[1]}")
-        for b in range(int(kv_len[r]) // bk, last + 1):
+        # fill from block 0: admission can set kv_len directly (prefix
+        # shares, restores), so earlier blocks may still be holes
+        for b in range(0, last + 1):
             if table[r, b] < 0:
                 table[r, b] = pool.allocate(1)[0]
                 changed = True
@@ -173,6 +193,52 @@ def free_pages_of(cache: PagedKVCache, pool: PagePool, replica: int,
         kv_len[r] = 0
     return dataclasses.replace(
         cache, page_table=jnp.asarray(table, jnp.int32),
+        kv_len=jnp.asarray(kv_len, jnp.int32))
+
+
+def share_prefix(cache: PagedKVCache, pool: PagePool, src: int, dst: int,
+                 n_tokens: int, *, kv_heads: int = 1) -> PagedKVCache:
+    """Prefix caching (host step): point slot ``dst``'s tables at slot
+    ``src``'s first ``n_tokens`` of KV without copying full pages.
+
+    Full prefix pages are SHARED (refcounted — they are immutable by
+    construction: appends only ever touch a sequence's own tail page). A
+    partial last page (``n_tokens % bk != 0``) is copied at fork time
+    into a fresh page ``dst`` owns (copy-on-write resolved eagerly —
+    ``dst``'s next appends land there). ``dst``'s previous pages must
+    already be released. Returns the cache with updated tables/lengths;
+    the KV pool bytes move only for the partial page."""
+    bk = cache.bk
+    table = np.asarray(cache.page_table).copy()
+    kv_len = np.asarray(cache.kv_len).copy()
+    k2, v2 = cache.k, cache.v
+    ks2, vs2 = cache.k_scale, cache.v_scale
+    full, rem = divmod(n_tokens, bk)
+    for h in range(kv_heads):
+        rs = src * kv_heads + h
+        rd = dst * kv_heads + h
+        if int(kv_len[rs]) < n_tokens:
+            raise ValueError(
+                f"src replica {rs} holds {int(kv_len[rs])} < {n_tokens}")
+        if (table[rd] >= 0).any() or int(kv_len[rd]) != 0:
+            raise ValueError(f"dst replica {rd} not released")
+        shared = [int(p) for p in table[rs, :full]]
+        if any(p < 0 for p in shared):
+            raise ValueError("src prefix has unallocated pages")
+        pool.share(shared)
+        table[rd, :full] = shared
+        if rem:
+            new = pool.allocate(1)[0]
+            srcp = int(table[rs, full])
+            k2 = k2.at[new].set(k2[srcp])
+            v2 = v2.at[new].set(v2[srcp])
+            ks2 = ks2.at[new].set(ks2[srcp])
+            vs2 = vs2.at[new].set(vs2[srcp])
+            table[rd, full] = new
+        kv_len[rd] = n_tokens
+    return dataclasses.replace(
+        cache, k=k2, v=v2, k_scale=ks2, v_scale=vs2,
+        page_table=jnp.asarray(table, jnp.int32),
         kv_len=jnp.asarray(kv_len, jnp.int32))
 
 

@@ -16,6 +16,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = [
     ("generate.py", ["--small"]),
     ("serve_continuous.py", ["--small"]),
+    ("serve_paged.py", ["--small"]),
     ("serve_sparse_int8.py", ["--small"]),
     ("train_sparse_transformer.py", ["--small", "--steps", "3"]),
 ]

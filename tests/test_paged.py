@@ -262,3 +262,92 @@ def test_paged_eviction_reuses_pages():
     assert np.isfinite(np.asarray(y)).all()
     assert int(caches[0].kv_len[0]) == 1          # restarted from zero
     assert int(caches[0].kv_len[HEADS]) == P + 1  # slot 1 kept going
+
+
+def test_prefix_sharing_refcounts_and_parity():
+    """Prefix caching: slot 1 admitted with slot 0's prefix via shared
+    pages. Decoding the forked slot must equal decoding a slot whose
+    prefix was prefilled independently; releasing the source must NOT
+    free shared pages while the fork lives."""
+    b, P = 2, 256     # two 128-token pages of prefix
+    model = _model(b, P)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((b, P, H)))
+    rng = np.random.RandomState(4)
+    prompt = rng.randn(1, P, H).astype(np.float32) * 0.3
+    prompts = jnp.asarray(np.concatenate([prompt, prompt], axis=0))
+    toks = jnp.asarray(rng.randn(2, b, 1, H).astype(np.float32) * 0.3)
+
+    # reference: both slots prefilled with the same prompt independently
+    ref = PagedDecoder(model, n_pages=4 * b * HEADS, s_max=P + 128,
+                       bk=128, cache_dtype=jnp.float32)
+    rc = ref.init_caches(b)
+    _, rc = ref.prefill(params, prompts, rc)
+
+    # fork: prefill slot 0 only (batch mask via lengths=0 on slot 1),
+    # release slot 1's (zero) state, then share slot 0's prefix into it
+    dec = PagedDecoder(model, n_pages=4 * b * HEADS, s_max=P + 128,
+                       bk=128, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    _, caches = dec.prefill(params, prompts, caches,
+                            lengths=jnp.asarray([P, 0]))
+    caches = dec.release(caches, 1)          # blank slot 1
+    free_before = dec.free_pages[0]
+    caches = dec.share_prefix(caches, src=0, dst=1, n_tokens=P)
+    # full-page prefix: sharing allocates nothing
+    assert dec.free_pages[0] == free_before
+    np.testing.assert_array_equal(np.asarray(caches[0].kv_len),
+                                  [P] * (b * HEADS))
+
+    for t in range(2):
+        caches = dec.reserve(caches, 1)
+        rc = ref.reserve(rc, 1)
+        y, caches = dec.decode_step(params, toks[t], caches)
+        y_ref, rc = ref.decode_step(params, toks[t], rc)
+        np.testing.assert_allclose(np.asarray(y[1]), np.asarray(y_ref[1]),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"t={t}")
+        # the fork must also not perturb the source slot
+        np.testing.assert_allclose(np.asarray(y[0]), np.asarray(y_ref[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+    # release the SOURCE: shared pages survive for the fork
+    free_mid = dec.free_pages[0]
+    caches = dec.release(caches, 0)
+    # slot 0's own post-prefix decode pages return; the P//bk shared
+    # prefix pages per replica do NOT
+    assert dec.free_pages[0] > free_mid
+    caches = dec.reserve(caches, 1)
+    y, caches = dec.decode_step(params, toks[0], caches,
+                                active=jnp.asarray([False, True]))
+    assert np.isfinite(np.asarray(y[1])).all()
+    # release the fork too (and slot 0 again — the final reserve() grew
+    # the blank slot 0 as well): now everything returns
+    caches = dec.release(caches, 1)
+    caches = dec.release(caches, 0)
+    assert dec.free_pages[0] == dec.pools[0].n_pages
+
+
+def test_share_prefix_partial_page_copies():
+    """Non-page-aligned prefix: the tail page is copied, not shared —
+    the fork's appends must not corrupt the source."""
+    cache, pool = pg.init_paged_cache(2, n_pages=6, bk=128, hd=16,
+                                      max_blocks=3)
+    rng = np.random.RandomState(5)
+    # slot 0 (replica 0) holds 200 tokens: 1 full page + 72 in page 2
+    cache = dataclasses.replace(cache,
+                                kv_len=jnp.asarray([200, 0], jnp.int32))
+    cache = pg.ensure_pages(cache, pool, 0)
+    free0 = pool.free_pages
+    cache = pg.share_prefix(cache, pool, 0, 1, 200)
+    assert pool.free_pages == free0 - 1      # one copied tail page
+    tbl = np.asarray(cache.page_table)
+    assert tbl[1, 0] == tbl[0, 0]            # full page shared
+    assert tbl[1, 1] != tbl[0, 1] and tbl[1, 1] >= 0  # tail copied
+    # fork appends at 200 -> its own page; source bytes untouched
+    out = pg.append_paged(cache, jnp.ones((2, 16)), jnp.ones((2, 16)),
+                          active=jnp.asarray([0, 1], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out.kv_len), [200, 201])
+    np.testing.assert_array_equal(np.asarray(out.k[tbl[0, 1]]),
+                                  np.asarray(cache.k[tbl[0, 1]]))
+    # double-free protection via refcounts
+    with pytest.raises(ValueError):
+        pool.free([int(tbl[0, 0])] * 3)

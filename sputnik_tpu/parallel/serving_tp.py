@@ -238,8 +238,12 @@ class TPDecoder:
             tuple(act_spec for _ in range(n_extra_rep)) + \
             (jax.tree.map(lambda _: cache_spec, caches),)
         out_specs = (y_spec, jax.tree.map(lambda _: cache_spec, caches))
+        # check_vma=False: the local body runs Pallas kernels on real
+        # TPUs, whose out_shape ShapeDtypeStructs carry no vma — the
+        # default check rejects them (found by the TPU ndev=1 dryrun;
+        # CPU runs take the oracle path and never hit it)
         return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
-                             out_specs=out_specs)
+                             out_specs=out_specs, check_vma=False)
 
     def _tp_call(self, method, sparams, x, caches, y_batch_dim=0,
                  **kwargs):

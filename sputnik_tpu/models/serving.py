@@ -216,6 +216,16 @@ class SparseDecoder:
         warm_flash_meta(spec, backward=False)
         return spec
 
+    def _prefill_setup(self, caches, T: int):
+        """Hook: cache-family-specific validation/allocation before the
+        prompt pass (paged: page reservation)."""
+        return caches
+
+    def _prefill_write(self, cache, k3, v3, len_r):
+        """Hook: bulk-write one layer's folded ``[R_kv, T, hd]`` K/V into
+        its cache (paged decoders write pool pages instead)."""
+        return prefill_kv(cache, k3, v3, lengths=len_r)
+
     def prefill(self, params, x, caches: Sequence[KVCache],
                 reduce_fn=None, lengths=None):
         """Run the prompt ``x [b, T, h]`` through the model (fused-flash
@@ -235,6 +245,7 @@ class SparseDecoder:
         b, T, _ = x.shape
         if T != mt.m:
             raise ValueError(f"prompt length {T} != mask rows {mt.m}")
+        caches = self._prefill_setup(caches, T)
         len_r = None if lengths is None else jnp.repeat(
             jnp.asarray(lengths, jnp.int32), self.kv_heads)
         scale = 1.0 / float(np.sqrt(self.hd))
@@ -262,8 +273,8 @@ class SparseDecoder:
 
             x, (k, v) = self._block(lp, x, attn, reduce_fn=reduce_fn)
             new_caches.append(
-                prefill_kv(caches[i], self._fold(k), self._fold(v),
-                           lengths=len_r))
+                self._prefill_write(caches[i], self._fold(k),
+                                    self._fold(v), len_r))
         return x, tuple(new_caches)
 
     # -- decode --------------------------------------------------------------
@@ -314,10 +325,16 @@ class SparseDecoder:
         identical across layers). At capacity the write is a guarded
         no-op (``kv_len`` pins at ``s_max``)."""
         # Shared across layers: scalar write position and the post-append
-        # block table (every layer's cache has the same lengths).
+        # block table (every layer's cache has the same lengths). The
+        # table length CLAMPS at s_max: past capacity the append is a
+        # guarded no-op, and an unclamped kv_len + 1 would mark an
+        # out-of-range block valid (it clamps onto the last block —
+        # double-counted — while block 0 falls out of the window;
+        # measured 0.127 output error at capacity).
         pos = caches[0].kv_len[0]
         tbl, valid = decode_block_table(
-            caches[0].kv_len + 1, s_max=self.s_max, bk=self.bk,
+            jnp.minimum(caches[0].kv_len + 1, self.s_max),
+            s_max=self.s_max, bk=self.bk,
             window_blocks=self.window_blocks,
             sink_blocks=self.sink_blocks)
 
@@ -389,14 +406,23 @@ class SparseDecoder:
         With a sliding window, rows earlier than the last draft token
         may see up to ``q - 1`` extra trailing tokens of window (the
         block table is sized for the final position); sinks and
-        causality are exact."""
+        causality are exact.
+
+        Capacity: if the ``q`` draft tokens don't fit below ``s_max``,
+        ``append_kv_seq`` writes nothing (all-or-nothing) and ``kv_len``
+        does not advance — THE caller-visible rejection signal (compare
+        ``caches[0].kv_len`` before/after, or size ``s_max`` for the
+        worst-case draft up front). The outputs of a rejected step are
+        meaningless; the block table below clamps so the attention at
+        least reads in-range blocks."""
         qn = x_toks.shape[1]
         if qn > QPAD:
             raise ValueError(f"q {qn} > QPAD {QPAD}")
 
         pos = caches[0].kv_len[0]
         tbl, valid = decode_block_table(
-            caches[0].kv_len + qn, s_max=self.s_max, bk=self.bk,
+            jnp.minimum(caches[0].kv_len + qn, self.s_max),
+            s_max=self.s_max, bk=self.bk,
             window_blocks=self.window_blocks,
             sink_blocks=self.sink_blocks)
 

@@ -93,52 +93,21 @@ class PagedDecoder(SparseDecoder):
         return [p.free_pages for p in self.pools]
 
     # -- prefill --------------------------------------------------------------
+    # SparseDecoder.prefill runs the prompt pass; only the cache hooks
+    # differ: reserve pool pages up front, bulk-write pool pages per layer
+    # (a duplicated attention body here drifted from the base once — the
+    # hook keeps the 'PagedDecoder == SparseDecoder' oracle structural).
 
-    def prefill(self, params, x, caches, reduce_fn=None, lengths=None):
-        """Prompt pass (same fused-flash attention as SparseDecoder) with
-        each layer's K/V bulk-written into its pool pages. The prompt
-        length must be a multiple of ``bk`` (pad the batch; ``lengths``
-        marks the real extents)."""
-        m = self.model
-        b, T, _ = x.shape
+    def _prefill_setup(self, caches, T: int):
         if T % self.bk:
             raise ValueError(f"prompt length {T} must pad to bk={self.bk}")
-        caches = self.reserve(caches, T)   # pages for the whole prompt
-        len_r = None if lengths is None else jnp.repeat(
-            jnp.asarray(lengths, jnp.int32), self.kv_heads)
-        core = self._prefill_spec(T)
-        scale = 1.0 / float(np.sqrt(self.hd))
+        return self.reserve(caches, T)     # pages for the whole prompt
 
-        from ..ops import batched_panel as bp
-        from ..ops.fused_attention import fused_sparse_attention
-
-        new_caches = []
-        for i in range(m.num_layers):
-            lp = self._layer_params(params, i)
-
-            def attn(q, k, v):
-                if self.group > 1:
-                    k = jnp.repeat(k, self.group, axis=2)
-                    v = jnp.repeat(v, self.group, axis=2)
-                q3, k3, v3 = self._fold(q), self._fold(k), self._fold(v)
-                if m.attention_layout == "panel" or T < 128:
-                    s_ = bp.sddmm_bh(core, q3, k3) * scale
-                    w = bp.sparse_softmax_bh(core, s_)
-                    ctx = bp.spmm_bh(core, w, v3)
-                else:
-                    ctx = fused_sparse_attention(core, q3, k3, v3,
-                                                 scale=scale)
-                ctx = ctx.reshape(b, m.num_heads, T, self.hd)
-                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
-                    b, T, m.num_heads * self.hd)
-
-            x, (k, v) = self._block(lp, x, attn, reduce_fn=reduce_fn)
-            cache = caches[i]
-            pages = np.asarray(cache.page_table)[:, : T // self.bk]
-            new_caches.append(pg.write_prompt_pages(
-                cache, self._fold(k), self._fold(v),
-                replica_pages=pages, lengths=len_r))
-        return x, tuple(new_caches)
+    def _prefill_write(self, cache, k3, v3, len_r):
+        T = k3.shape[1]
+        pages = np.asarray(cache.page_table)[:, : T // self.bk]
+        return pg.write_prompt_pages(cache, k3, v3, replica_pages=pages,
+                                     lengths=len_r)
 
     # -- decode ----------------------------------------------------------------
 

@@ -85,6 +85,32 @@ def _quantize_token(x):
     return q, scale
 
 
+def pad_quantize_tokens(k_new, v_new, hd_pad: int, dtype):
+    """``(..., hd)`` K/V tokens -> padded ``(..., hd_pad)`` in the cache
+    ``dtype`` plus per-token scales ``(...,)`` (ones for fp caches).
+
+    The SINGLE source of the cache write convention (zero-padding +
+    symmetric per-token int8 quantization) shared by the contiguous and
+    paged append/prefill paths — a drifted copy would make the two cache
+    families silently disagree numerically."""
+
+    def pad(x):
+        out = jnp.zeros(x.shape[:-1] + (hd_pad,), jnp.float32)
+        return out.at[..., : x.shape[-1]].set(x.astype(jnp.float32))
+
+    kp, vp = pad(k_new), pad(v_new)
+    if dtype == jnp.int8:
+        qf = _quantize_token
+        for _ in range(kp.ndim - 1):
+            qf = jax.vmap(qf)
+        kq, ks = qf(kp)
+        vq, vs = qf(vp)
+    else:
+        kq, vq = kp.astype(dtype), vp.astype(dtype)
+        ks = vs = jnp.ones(kp.shape[:-1], jnp.float32)
+    return kq, vq, ks, vs
+
+
 def append_kv(cache: KVCache, k_new, v_new, pos=None,
               active=None) -> KVCache:
     """Append one token per replica. ``k_new``/``v_new``: ``[R_kv, hd]``
@@ -111,17 +137,8 @@ def append_kv(cache: KVCache, k_new, v_new, pos=None,
     be overwritten by the clamped write position.
     """
     R, s_max, hd_pad = cache.k.shape
-    kp = jnp.zeros((R, hd_pad), jnp.float32)
-    kp = kp.at[:, : k_new.shape[-1]].set(k_new.astype(jnp.float32))
-    vp = jnp.zeros((R, hd_pad), jnp.float32)
-    vp = vp.at[:, : v_new.shape[-1]].set(v_new.astype(jnp.float32))
-
-    if cache.is_int8:
-        kq, ks = jax.vmap(_quantize_token)(kp)
-        vq, vs = jax.vmap(_quantize_token)(vp)
-    else:
-        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
-        ks = vs = jnp.ones((R,), jnp.float32)
+    kq, vq, ks, vs = pad_quantize_tokens(k_new, v_new, hd_pad,
+                                         cache.k.dtype)
 
     if pos is not None:
         if active is not None:
@@ -200,17 +217,8 @@ def append_kv_seq(cache: KVCache, k_new, v_new, pos) -> KVCache:
     partial draft write would desync rollback)."""
     R, s_max, hd_pad = cache.k.shape
     q = k_new.shape[1]
-    kp = jnp.zeros((R, q, hd_pad), jnp.float32)
-    kp = kp.at[:, :, : k_new.shape[-1]].set(k_new.astype(jnp.float32))
-    vp = jnp.zeros((R, q, hd_pad), jnp.float32)
-    vp = vp.at[:, :, : v_new.shape[-1]].set(v_new.astype(jnp.float32))
-
-    if cache.is_int8:
-        kq, ks = jax.vmap(jax.vmap(_quantize_token))(kp)
-        vq, vs = jax.vmap(jax.vmap(_quantize_token))(vp)
-    else:
-        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
-        ks = vs = jnp.ones((R, q), jnp.float32)
+    kq, vq, ks, vs = pad_quantize_tokens(k_new, v_new, hd_pad,
+                                         cache.k.dtype)
 
     z = jnp.int32(0)
     p_raw = jnp.asarray(pos, jnp.int32)
@@ -246,20 +254,12 @@ def prefill_kv(cache: KVCache, k_seq, v_seq, lengths=None) -> KVCache:
     T = k_seq.shape[1]
     if lengths is None:
         lengths = jnp.full((R,), T, jnp.int32)
-    kp = jnp.zeros((R, T, hd_pad), jnp.float32)
-    kp = kp.at[:, :, : k_seq.shape[-1]].set(k_seq.astype(jnp.float32))
-    vp = jnp.zeros((R, T, hd_pad), jnp.float32)
-    vp = vp.at[:, :, : v_seq.shape[-1]].set(v_seq.astype(jnp.float32))
+    # zero pad tokens BEFORE quantizing (their scales become the floor)
     mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
-    kp = jnp.where(mask, kp, 0.0)
-    vp = jnp.where(mask, vp, 0.0)
-
-    if cache.is_int8:
-        kq, ks = jax.vmap(jax.vmap(_quantize_token))(kp)
-        vq, vs = jax.vmap(jax.vmap(_quantize_token))(vp)
-    else:
-        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
-        ks = vs = jnp.ones((R, T), jnp.float32)
+    k_seq = jnp.where(mask, k_seq.astype(jnp.float32), 0.0)
+    v_seq = jnp.where(mask, v_seq.astype(jnp.float32), 0.0)
+    kq, vq, ks, vs = pad_quantize_tokens(k_seq, v_seq, hd_pad,
+                                         cache.k.dtype)
 
     return KVCache(
         k=cache.k.at[:, :T].set(kq),

@@ -36,7 +36,7 @@ import numpy as np
 
 from . import _common
 from ._common import round_up
-from .decode import _quantize_token, decode_block_table
+from .decode import decode_block_table, pad_quantize_tokens
 from .pallas.decode_attention import QPAD
 from .pallas import paged_attention as _pk
 
@@ -162,7 +162,11 @@ def ensure_pages(cache: PagedKVCache, pool: PagePool,
     table = np.asarray(cache.page_table).copy()
     bk = cache.bk
     rows = range(table.shape[0]) if replicas is None else replicas
-    changed = False
+    # two-phase: collect every hole first, allocate ONCE, then fill —
+    # allocating inside the scan would leak already-popped pages into a
+    # discarded local table copy if a later replica raised (pool
+    # exhaustion / capacity), permanently shrinking the pool
+    holes = []
     for r in rows:
         last = (int(kv_len[r]) + n_tokens - 1) // bk
         if last >= table.shape[1]:
@@ -171,12 +175,13 @@ def ensure_pages(cache: PagedKVCache, pool: PagePool,
                 f"{table.shape[1]}")
         # fill from block 0: admission can set kv_len directly (prefix
         # shares, restores), so earlier blocks may still be holes
-        for b in range(0, last + 1):
-            if table[r, b] < 0:
-                table[r, b] = pool.allocate(1)[0]
-                changed = True
-    if not changed:
+        holes.extend((r, b) for b in range(0, last + 1)
+                     if table[r, b] < 0)
+    if not holes:
         return cache
+    pages = pool.allocate(len(holes))   # atomic: raises before popping
+    for (r, b), p in zip(holes, pages):
+        table[r, b] = p
     return dataclasses.replace(cache,
                                page_table=jnp.asarray(table, jnp.int32))
 
@@ -267,16 +272,8 @@ def append_paged(cache: PagedKVCache, k_new, v_new,
     or with ``active == 0`` is untouched and does not advance."""
     R = cache.kv_len.shape[0]
     hd_pad = cache.k.shape[-1]
-    kp = jnp.zeros((R, hd_pad), jnp.float32)
-    kp = kp.at[:, : k_new.shape[-1]].set(k_new.astype(jnp.float32))
-    vp = jnp.zeros((R, hd_pad), jnp.float32)
-    vp = vp.at[:, : v_new.shape[-1]].set(v_new.astype(jnp.float32))
-    if cache.is_int8:
-        kq, ks = jax.vmap(_quantize_token)(kp)
-        vq, vs = jax.vmap(_quantize_token)(vp)
-    else:
-        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
-        ks = vs = jnp.ones((R,), jnp.float32)
+    kq, vq, ks, vs = pad_quantize_tokens(k_new, v_new, hd_pad,
+                                         cache.k.dtype)
 
     page, off, ok = _resolve_write(cache, active)
     new_len = cache.kv_len + ok
@@ -333,19 +330,12 @@ def write_prompt_pages(cache: PagedKVCache, k_seq, v_seq, *,
     hd_pad = cache.k.shape[-1]
     if lengths is None:
         lengths = jnp.full((R,), T, jnp.int32)
-    kp = jnp.zeros((R, T, hd_pad), jnp.float32)
-    kp = kp.at[:, :, :hd].set(k_seq.astype(jnp.float32))
-    vp = jnp.zeros((R, T, hd_pad), jnp.float32)
-    vp = vp.at[:, :, :hd].set(v_seq.astype(jnp.float32))
+    # zero pad tokens BEFORE quantizing (their scales become the floor)
     msk = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
-    kp = jnp.where(msk, kp, 0.0)
-    vp = jnp.where(msk, vp, 0.0)
-    if cache.is_int8:
-        kq, ks = jax.vmap(jax.vmap(_quantize_token))(kp)
-        vq, vs = jax.vmap(jax.vmap(_quantize_token))(vp)
-    else:
-        kq, vq = kp.astype(cache.k.dtype), vp.astype(cache.v.dtype)
-        ks = vs = jnp.ones((R, T), jnp.float32)
+    k_seq = jnp.where(msk, k_seq.astype(jnp.float32), 0.0)
+    v_seq = jnp.where(msk, v_seq.astype(jnp.float32), 0.0)
+    kq, vq, ks, vs = pad_quantize_tokens(k_seq, v_seq, hd_pad,
+                                         cache.k.dtype)
 
     pages = np.asarray(replica_pages).reshape(-1)          # [R * nb]
     if (pages < 0).any():

@@ -112,11 +112,15 @@ def _values_panel(spec, values, stream_dt=None):
     key = (id(spec), id(values), jnp.dtype(stream_dt).name
            if stream_dt is not None else None)
     hit = _panel_cache.get(key)
-    if hit is not None and hit[0] is values:
+    # the entry must hold BOTH objects strongly and identity-check both:
+    # an id() alone can be recycled after GC — a new PanelSpec landing at
+    # a dead spec's address with the same values buffer would silently
+    # return the dead topology's panel
+    if hit is not None and hit[0] is spec and hit[1] is values:
         _panel_cache.move_to_end(key)
-        return hit[1]
+        return hit[2]
     panel = build()
-    _panel_cache[key] = (values, panel)
+    _panel_cache[key] = (spec, values, panel)
     while len(_panel_cache) > _PANEL_CACHE_SLOTS:
         _panel_cache.popitem(last=False)
     return panel

@@ -198,3 +198,66 @@ def test_ragged_step_full_slot_regression():
         np.testing.assert_array_equal(np.asarray(c2.k), b)
         np.testing.assert_array_equal(np.asarray(c2.kv_len),
                                       [P] * (2 * dec.kv_heads))
+
+
+def test_decode_step_at_capacity_table_clamped():
+    """Uniform decode_step at kv_len == s_max must attend the SAME
+    clamped window as the (already-clamped) ragged step — the unclamped
+    kv_len + 1 table marked an out-of-range block valid, dropping block
+    0 and double-counting the last (0.127 output error pre-fix)."""
+    from sputnik_tpu.models.serving import SparseDecoder
+    from sputnik_tpu.models.transformer import SparseTransformer
+
+    H, HEADS, P = 16, 2, 8
+    mask = np.broadcast_to(np.tril(np.ones((P, P), np.float32)),
+                           (2, P, P)).copy()
+    model = SparseTransformer.from_masks(
+        mask, num_layers=1, hidden_size=H, num_heads=HEADS,
+        ffn_hidden_size=24, use_residual=True, use_layernorm=True,
+        activation="gelu")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, P, H)))
+    rng = np.random.RandomState(6)
+    prompts = jnp.asarray(rng.randn(2, P, H).astype(np.float32) * 0.3)
+    x = jnp.asarray(rng.randn(2, 1, H).astype(np.float32))
+
+    dec = SparseDecoder(model, s_max=P, bk=4, cache_dtype=jnp.float32)
+    caches = dec.init_caches(2)
+    _, caches = dec.prefill(params, prompts, caches)   # kv_len == s_max
+
+    y_uni, c_uni = dec.decode_step(params, x, caches)
+    y_rag, c_rag = dec.decode_step_ragged(params, x, caches)
+    np.testing.assert_allclose(np.asarray(y_uni), np.asarray(y_rag),
+                               rtol=1e-6, atol=1e-6)
+    for cu, cr in zip(c_uni, c_rag):
+        np.testing.assert_array_equal(np.asarray(cu.k), np.asarray(cr.k))
+        np.testing.assert_array_equal(np.asarray(cu.kv_len),
+                                      np.asarray(cr.kv_len))
+
+
+def test_decode_multi_overflow_signals_via_kv_len():
+    """Speculative step whose draft does not fit: kv_len is the rejection
+    signal (unchanged), the cache is untouched, outputs stay finite."""
+    from sputnik_tpu.models.serving import SparseDecoder
+    from sputnik_tpu.models.transformer import SparseTransformer
+
+    H, HEADS, P = 16, 2, 8
+    mask = np.broadcast_to(np.tril(np.ones((P, P), np.float32)),
+                           (1, P, P)).copy()
+    model = SparseTransformer.from_masks(
+        mask, num_layers=1, hidden_size=H, num_heads=HEADS,
+        ffn_hidden_size=24, use_residual=True, use_layernorm=True,
+        activation="gelu")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, P, H)))
+    rng = np.random.RandomState(7)
+    prompts = jnp.asarray(rng.randn(1, P, H).astype(np.float32) * 0.3)
+
+    dec = SparseDecoder(model, s_max=P + 4, bk=4, cache_dtype=jnp.float32)
+    caches = dec.init_caches(1)
+    _, caches = dec.prefill(params, prompts, caches)   # kv_len == P
+    draft = jnp.asarray(rng.randn(1, 6, H).astype(np.float32))  # 6 > 4 left
+    before_k = np.asarray(caches[0].k).copy()
+    y, caches2 = dec.decode_multi(params, draft, caches)
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_array_equal(np.asarray(caches2[0].kv_len),
+                                  np.asarray(caches[0].kv_len))
+    np.testing.assert_array_equal(np.asarray(caches2[0].k), before_k)

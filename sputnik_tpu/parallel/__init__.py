@@ -12,6 +12,7 @@ operands replicated or column-sharded, XLA collectives (``psum`` /
 from .partition import RowPartition
 from .flash_sharded import (ShardedFlashSpec, flash_attention_sharded,
                             flash_attention_kv_sharded)
+from .ring_flash import RingFlashSpec, ring_flash_attention
 from .pipeline import PipelineSpec, pipeline_apply, stack_stage_params
 from .serving_tp import TPDecoder
 from .sharded_compressed import (
@@ -41,6 +42,8 @@ __all__ = [
     "ShardedPanelSpec",
     "flash_attention_sharded",
     "flash_attention_kv_sharded",
+    "RingFlashSpec",
+    "ring_flash_attention",
     "pipeline_apply",
     "stack_stage_params",
     "sharded_spmm",

@@ -155,6 +155,25 @@ def attention_halo_comm_bytes(spec, hd: int, n_loc: int, *,
             "dense_fallback": False}
 
 
+def attention_ring_comm_bytes(n_loc: int, hd: int, ndev: int, *,
+                              kv_replicas: int = 1,
+                              itemsize: int = 4) -> dict:
+    """Per-device ICI bytes for ``ring_flash_attention`` (full-causal
+    sequence parallelism).
+
+    Forward: ``ndev`` rotations of the K and V bands (one per scan step;
+    total volume = the all_gather fallback's plus one band, but
+    pipelined with compute and never materialised — peak per-device K/V
+    is ONE band). Backward: the same K/V rotation plus the dk/dv
+    accumulators riding the ring home (2x). No psum in either pass.
+    """
+    hd_pad = _round_up(max(hd, 1), 128)
+    band = kv_replicas * n_loc * hd_pad * itemsize
+    fwd = 2.0 * ndev * band           # K and V, ndev rotations
+    return {"fwd": float(fwd), "bwd": float(2.0 * fwd),
+            "peak_kv_bytes_per_dev": 2.0 * band}
+
+
 def project_scaling(t1_ms: float, comm_bytes_per_dev: float,
                     ndev: int, chip: Chip = V5E) -> dict:
     """Closed-form scaling projection for one op invocation.

@@ -17,6 +17,7 @@ EXAMPLES = [
     ("generate.py", ["--small"]),
     ("serve_continuous.py", ["--small"]),
     ("serve_paged.py", ["--small"]),
+    ("train_seq_parallel.py", ["--small"]),
     ("serve_sparse_int8.py", ["--small"]),
     ("train_sparse_transformer.py", ["--small", "--steps", "3"]),
 ]

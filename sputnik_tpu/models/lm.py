@@ -135,11 +135,22 @@ class LMServer:
 
     def __init__(self, lm: SparseLM, *, s_max: int, bk: int = 256,
                  window: Optional[int] = None, sinks: int = 0,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, n_pages: Optional[int] = None):
         self.lm = lm
-        self.decoder = SparseDecoder(
-            lm.core, s_max=s_max, bk=bk, window=window, sinks=sinks,
-            cache_dtype=cache_dtype)
+        if n_pages is not None:
+            # paged serving (ops/paged.py): KV in a shared page pool.
+            # generate() reserves its decode pages up front (a HOST
+            # scheduler step), so do NOT wrap generate in an outer
+            # jax.jit with a paged server — the inner scan still jits.
+            from .serving_paged import PagedDecoder
+
+            self.decoder = PagedDecoder(
+                lm.core, n_pages=n_pages, s_max=s_max, bk=bk,
+                window=window, sinks=sinks, cache_dtype=cache_dtype)
+        else:
+            self.decoder = SparseDecoder(
+                lm.core, s_max=s_max, bk=bk, window=window, sinks=sinks,
+                cache_dtype=cache_dtype)
 
     # -- params plumbing ---------------------------------------------------
 
@@ -269,6 +280,10 @@ class LMServer:
             core_params, self._embed(p, tokens),
             self.init_caches(tokens.shape[0]), reduce_fn=reduce_fn,
             lengths=prompt_lengths)
+        if hasattr(self.decoder, "reserve"):
+            # paged pool: allocate every decode page before the scan
+            # (host scheduler step — runs once, outside the traced loop)
+            caches = self.decoder.reserve(caches, n_new)
         if prompt_lengths is None:
             last = y[:, -1:]
             step = self.decode_step

@@ -351,3 +351,29 @@ def test_share_prefix_partial_page_copies():
     # double-free protection via refcounts
     with pytest.raises(ValueError):
         pool.free([int(tbl[0, 0])] * 3)
+
+
+def test_lmserver_paged_matches_contiguous():
+    """LMServer(n_pages=...) greedy-generates token-identically to the
+    contiguous server (paging is storage-only), prompt -> n_new tokens,
+    f32 caches."""
+    from sputnik_tpu.models import LMServer, SparseLM
+
+    b, P, V, n_new = 2, 128, 97, 6
+    masks = np.broadcast_to(np.tril(np.ones((P, P), np.float32)),
+                            (b, P, P)).copy()
+    lm = SparseLM.from_masks(
+        masks, vocab_size=V, num_layers=2, hidden_size=H,
+        num_heads=HEADS, ffn_hidden_size=FFN, use_residual=True,
+        use_layernorm=True, activation="gelu")
+    rng = np.random.RandomState(8)
+    prompt = jnp.asarray(rng.randint(0, V, (b, P)))
+    params = lm.init(jax.random.PRNGKey(0), prompt)
+
+    ref = LMServer(lm, s_max=P + 128, bk=128, cache_dtype=jnp.float32)
+    toks_ref, _ = ref.generate(params, prompt, n_new)
+
+    srv = LMServer(lm, s_max=P + 128, bk=128, cache_dtype=jnp.float32,
+                   n_pages=3 * b * HEADS * 2)
+    toks, _ = srv.generate(params, prompt, n_new)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_ref))

@@ -53,15 +53,24 @@ def split_tensor_along_last_dim(tensor, num_partitions: int):
     return jnp.split(tensor, num_partitions, axis=-1)
 
 
-def flash_tiles(s: int, flash_block: int = 512, flash_block_k: int = 0):
-    """Measured fused-flash tile defaults for sequence length ``s``:
-    ``bm`` capped at ``flash_block`` (512 measured best), ``bk`` twice as
-    wide (the ~25% wider-key-tile win), both floored at the 128-lane
-    minimum and never exceeding the padded sequence. Single source of
-    truth for training (``SparseCoreAttention``) and serving
+def flash_tiles(s: int, flash_block: int = 1024, flash_block_k: int = 0):
+    """Measured fused-flash tile defaults for sequence length ``s``.
+
+    ``bm`` capped at ``flash_block``; ``bk`` defaults to 2x ``bm`` below
+    1024 (the r2 ~25% wider-key-tile win at bm=512) and to ``bm`` at
+    1024 (square (1024,1024) beat (512,1024) in two independent r3
+    sessions — fwd 0.23-0.34 vs 0.36-0.38 ms and grad 1.12-1.37 vs
+    1.20-1.49 on causal 16x2048, dense-anchored; (1024,2048) is worse).
+    Both floored at the 128-lane minimum and never exceeding the padded
+    sequence. Single source of truth for training
+    (``SparseCoreAttention``) and serving
     (``SparseDecoder._prefill_spec``)."""
-    bm = max(128, min(flash_block, 1 << (s - 1).bit_length()))
-    bk = flash_block_k or min(2 * bm, 1 << (s - 1).bit_length())
+    s_pow2 = 1 << (s - 1).bit_length()
+    bm = max(128, min(flash_block, s_pow2))
+    if flash_block_k:
+        bk = flash_block_k
+    else:
+        bk = bm if bm >= 1024 else min(2 * bm, s_pow2)
     return bm, max(128, bk)
 
 
@@ -96,8 +105,8 @@ class SparseCoreAttention(nn.Module):
     mask_topology: mm.ManyMaskTopology
     num_heads: int
     layout: str = "flash"
-    flash_block: int = 512
-    flash_block_k: int = 0      # 0 -> auto (2x flash_block; measured win)
+    flash_block: int = 1024
+    flash_block_k: int = 0      # 0 -> auto (see flash_tiles docstring)
 
     def _panel_spec(self, bm=128, bk=128):
         return cached_batched_spec(self.mask_topology, self.num_heads,

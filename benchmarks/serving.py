@@ -119,6 +119,39 @@ def main():
           f"(Pallas ragged-append kernel; uniform is the fast path)",
           flush=True)
 
+    # paged decoder (page pool + tables; 1024-token pages measured free
+    # vs contiguous — RESULTS.md "Paged KV cache")
+    from sputnik_tpu.models.serving_paged import PagedDecoder
+
+    pbk = min(1024, max(128, bk))
+    s_max_pg = -(-s_max // pbk) * pbk
+    pdec = PagedDecoder(mh, n_pages=b * heads * (s_max_pg // pbk + 1),
+                        s_max=s_max_pg, bk=pbk,
+                        cache_dtype=jnp.bfloat16)
+    if P % pbk == 0:
+        pcaches = pdec.init_caches(b)
+        _, pcaches = pdec.prefill(params, x, pcaches)
+        pcaches = pdec.reserve(pcaches, n_new)
+
+        def paged_loop(p, t, caches_in):
+            def body(carry, _):
+                xx, cc = carry
+                y, cc = pdec.decode_step(p, xx, cc)
+                return (y, cc), ()
+
+            (y, _), _ = jax.lax.scan(body, (t, tuple(caches_in)), None,
+                                     length=n_new)
+            return y
+
+        ms = per_token(jax.jit(paged_loop), n_new, params, tok,
+                       tuple(pcaches))
+        rows.append((f"bf16 KV, PAGED decode ({pbk}-token pages)", ms))
+        print(f"{'bf16 KV, PAGED decode':>34}: {ms:.2f} ms/token "
+              f"({pbk}-token pages)", flush=True)
+    else:
+        print(f"(paged case skipped: prompt {P} not a multiple of the "
+              f"{pbk}-token page floor)", flush=True)
+
     # token-level generate (embed + head + top-k sampling in the loop)
     prompt = jnp.asarray(rng.randint(0, V, (b, P)))
     lm = SparseLM(core=model(), vocab_size=V)

@@ -33,11 +33,13 @@ def main():
 
     import jax
 
-    if jax.default_backend() == "cpu":
-        try:
-            jax.config.update("jax_num_cpu_devices", 8)
-        except Exception:
-            pass
+    # request 8 CPU devices BEFORE anything initializes a backend
+    # (jax.default_backend() itself would initialize one and make this
+    # update a silent no-op); harmless if a TPU plugin takes over.
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass  # backend already up (e.g. under pytest's conftest flags)
     import jax.numpy as jnp
     from jax.sharding import Mesh
 

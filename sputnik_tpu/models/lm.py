@@ -222,6 +222,10 @@ class LMServer:
         Returns ``(new_tokens [b, n_new], caches)``. Jits as one program
         (prefill + a ``lax.scan`` of embed -> decode -> head -> sample);
         sampling params are static. ``key`` is required unless greedy.
+        EXCEPTION: a PAGED server (``n_pages=...``) must call this
+        eagerly — page reservation is a host scheduler step
+        (``np.asarray`` on cache state), so an outer ``jax.jit`` raises
+        a ConcretizationTypeError; the decode scan inside still jits.
 
         ``eos_id``: sequences that emit it are finished — every later
         position holds ``pad_id`` (the standard uniform-batch behaviour:

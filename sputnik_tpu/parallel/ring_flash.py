@@ -77,6 +77,13 @@ class RingFlashSpec:
     def __init__(self, part: RowPartition, *, bm: int = 128,
                  bk: int = 128, mesh: Optional[Mesh] = None,
                  axis: str = "sp"):
+        if not np.array_equal(part.perm, np.arange(len(part.perm))):
+            # a balanced permutation scatters query rows across shards;
+            # the band metadata would silently compute the WRONG
+            # attention (confirmed: max err ~2 vs the dense oracle)
+            raise ValueError(
+                "ring attention requires a natural-order partition — "
+                "build it with RowPartition(..., balance=False)")
         self.part = part
         self.mesh, self.axis = mesh, axis
         self.bm, self.bk = bm, bk
@@ -338,9 +345,15 @@ def ring_flash_attention(spec: RingFlashSpec, q_sh, k_sh, v_sh,
         raise ValueError(
             f"k/v replicas {R_kv}/{v_sh.shape[1]} != R // group "
             f"{R // group}")
-    if k_sh.shape[2] > spec.n_loc:
+    if k_sh.shape[2] != spec.n_loc or v_sh.shape[2] != spec.n_loc:
+        # the band metadata addresses global key row 128*b + c at buffer
+        # row c, so each shard must carry EXACTLY its n_loc-row band —
+        # a short shard (s not a multiple of ndev*bk) silently misaligns
+        # every band (confirmed: 0.18 max err at s=1000). Pad the keys
+        # GLOBALLY to n_pad first, then shard.
         raise ValueError(
-            f"per-device key rows {k_sh.shape[2]} > band {spec.n_loc}")
+            f"per-device key rows {k_sh.shape[2]} != band {spec.n_loc}; "
+            "pad the sequence to n_pad globally, then shard")
     hd = q_sh.shape[-1]
     hd_pad = _round_up(max(hd, 1), 128)
     scale = float(scale) if scale is not None else float(hd) ** -0.5

@@ -113,3 +113,22 @@ def test_ring_validation(mesh):
             st.SparseTopology.from_dense_mask(
                 np.tril(np.ones((320, 320), np.float32))), NDEV,
             bm=8, balance=False), bm=8, bk=128, mesh=mesh)  # 384 % 1024
+
+
+def test_ring_rejects_misuse(mesh):
+    """Balanced partitions and short key shards silently computed wrong
+    attention (confirmed 2.1 / 0.18 max error) — both now raise."""
+    s = 1024
+    topo = st.SparseTopology.from_dense_mask(
+        np.tril(np.ones((s, s), np.float32)))
+    with pytest.raises(ValueError, match="natural-order"):
+        RingFlashSpec(RowPartition(topo, NDEV, bm=8), bm=8, bk=128,
+                      mesh=mesh)
+    part = RowPartition(topo, NDEV, bm=8, balance=False)
+    spec = RingFlashSpec(part, bm=8, bk=128, mesh=mesh, axis="sp")
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(NDEV, 2, s // NDEV, 16).astype(np.float32))
+    short = jnp.asarray(
+        rng.randn(NDEV, 2, s // NDEV - 3, 16).astype(np.float32))
+    with pytest.raises(ValueError, match="pad the sequence"):
+        ring_flash_attention(spec, q, short, short)

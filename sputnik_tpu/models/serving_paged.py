@@ -160,9 +160,62 @@ class PagedDecoder(SparseDecoder):
             new_caches.append(cache)
         return x, tuple(new_caches)
 
-    # paged serving is single-token; the contiguous decoder keeps the
-    # speculative (qlen > 1) and scan-loop fast paths
     def decode_step_ragged(self, params, x_tok, caches, active=None,
                            reduce_fn=None):
+        # paged appends are per-replica by construction: uniform and
+        # ragged batches share one step
         return self.decode_step(params, x_tok, caches, active=active,
                                 reduce_fn=reduce_fn)
+
+    def decode_multi(self, params, x_toks, caches, reduce_fn=None):
+        """Speculative-decode verification over the pool: advance
+        ``q <= 8`` draft tokens at once (``reserve(caches, q)`` first).
+        Per-replica all-or-nothing like the contiguous path: a replica
+        whose draft doesn't fit (pages/table) writes nothing and its
+        ``kv_len`` stays — THE rejection signal. See
+        ``SparseDecoder.decode_multi`` for the window caveat."""
+        m = self.model
+        b, qn, _ = x_toks.shape
+        scale = 1.0 / float(np.sqrt(self.hd))
+        kv_len1 = jnp.minimum(caches[0].kv_len + qn, self.nb * self.bk)
+        logical, valid0 = decode_block_table(
+            kv_len1, s_max=self.s_max, bk=self.bk,
+            window_blocks=self.window_blocks,
+            sink_blocks=self.sink_blocks)
+
+        new_caches = []
+        x = x_toks
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+            cache = caches[i]
+
+            def attn(q, k, v):
+                nonlocal cache
+                cache = pg.append_paged_seq(cache, self._fold(k),
+                                            self._fold(v))
+                phys = jnp.take_along_axis(
+                    cache.page_table,
+                    jnp.clip(logical, 0, cache.max_blocks - 1), axis=1)
+                valid = valid0 * (phys >= 0).astype(jnp.int32)
+                phys = jnp.where(valid == 1, phys, cache.dump_page)
+                ctx = pg.paged_attention(
+                    self._fold(q), cache, phys, logical, valid,
+                    group=self.group, qlen=qn, scale=scale)
+                ctx = ctx.reshape(b, m.num_heads, qn, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, qn, m.num_heads * self.hd)
+
+            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
+            new_caches.append(cache)
+        return x, tuple(new_caches)
+
+    @staticmethod
+    def rollback(caches, n: int):
+        """Reject the last ``n`` speculative tokens: shrink ``kv_len``.
+        Pages stay allocated (later appends overwrite in place — no data
+        movement, no pool traffic)."""
+        import dataclasses
+
+        return tuple(
+            dataclasses.replace(c, kv_len=jnp.maximum(c.kv_len - n, 0))
+            for c in caches)

@@ -41,8 +41,9 @@ from .pallas.decode_attention import QPAD
 from .pallas import paged_attention as _pk
 
 __all__ = ["PagePool", "PagedKVCache", "init_paged_cache", "ensure_pages",
-           "append_paged", "paged_block_table", "paged_attention",
-           "write_prompt_pages"]
+           "append_paged", "append_paged_seq", "paged_block_table",
+           "paged_attention", "write_prompt_pages", "share_prefix",
+           "free_pages_of"]
 
 
 class PagePool:
@@ -312,6 +313,34 @@ def append_paged(cache: PagedKVCache, k_new, v_new,
                                v_scale=vs2, kv_len=new_len)
 
 
+def append_paged_seq(cache: PagedKVCache, k_new, v_new,
+                     active=None) -> PagedKVCache:
+    """Append ``q <= 8`` tokens per replica (speculative drafts).
+    ``k_new``/``v_new``: ``[R_kv, q, hd]``.
+
+    ALL-OR-NOTHING per replica, like ``append_kv_seq``: a replica whose
+    ``q`` positions are not all page-backed (or not all below the table
+    capacity) writes nothing and does not advance — a partial draft
+    write would desync rollback. Tokens may span a page boundary; the
+    write unrolls into ``q`` single-token paged-append kernel passes
+    (each moves tens of KB — the draft is 8 tokens, not a prompt)."""
+    R, q, _ = k_new.shape
+    if q > 8:
+        raise ValueError(f"draft length {q} > 8")
+    bk = cache.bk
+    # every target position must have a page and fit the table
+    pos = cache.kv_len[:, None] + jnp.arange(q)[None, :]       # [R, q]
+    blk = jnp.clip(pos // bk, 0, cache.max_blocks - 1)
+    pages = jnp.take_along_axis(cache.page_table, blk, axis=1)
+    fits = jnp.all((pages >= 0) & (pos < cache.max_blocks * bk), axis=1)
+    ok = fits.astype(jnp.int32)
+    if active is not None:
+        ok = ok * jnp.asarray(active).astype(jnp.int32)
+    for t in range(q):
+        cache = append_paged(cache, k_new[:, t], v_new[:, t], active=ok)
+    return cache
+
+
 def write_prompt_pages(cache: PagedKVCache, k_seq, v_seq, *,
                        replica_pages: np.ndarray,
                        lengths=None) -> PagedKVCache:
@@ -378,7 +407,8 @@ def paged_block_table(cache: PagedKVCache, *, window_blocks: int,
     return phys.astype(jnp.int32), logical.astype(jnp.int32), valid
 
 
-def _oracle(q, cache: PagedKVCache, phys, logical, valid, group, scale):
+def _oracle(q, cache: PagedKVCache, phys, logical, valid, group, scale,
+            qlen):
     """Dense jnp reference: gather pages back to contiguous KV, then the
     standard masked attention (CPU path + correctness oracle)."""
     R = q.shape[0]
@@ -395,13 +425,14 @@ def _oracle(q, cache: PagedKVCache, phys, logical, valid, group, scale):
     outs = []
     for r in range(R):
         rk = r // group
-        sc = (q[r, :1].astype(jnp.float32) * scale) @ kf[rk, :, :hd].T
+        sc = (q[r, :qlen].astype(jnp.float32) * scale) @ kf[rk, :, :hd].T
         pos = jnp.arange(s_max)
+        qpos = cache.kv_len[rk] - qlen + jnp.arange(qlen)
         allow = jnp.zeros((s_max,), bool)
         for s in range(logical.shape[1]):
             in_blk = pos // bk == logical[r, s]
             allow = allow | (in_blk & (valid[r, s] == 1))
-        m = allow[None, :] & (pos[None, :] <= cache.kv_len[rk] - 1)
+        m = allow[None, :] & (pos[None, :] <= qpos[:, None])
         sc = jnp.where(m, sc, -1e30)
         w = jax.nn.softmax(sc, axis=-1)
         w = jnp.where(m, w, 0.0)
@@ -410,16 +441,20 @@ def _oracle(q, cache: PagedKVCache, phys, logical, valid, group, scale):
 
 
 def paged_attention(q, cache: PagedKVCache, phys, logical, valid, *,
-                    group: int = 1, scale: Optional[float] = None,
+                    group: int = 1, qlen: int = 1,
+                    scale: Optional[float] = None,
                     interpret: Optional[bool] = None):
-    """Fused paged decode attention: ``q [R, 1, hd]`` against the tabled
-    pool pages. Returns ``f32[R, 1, hd]``. ``phys``/``logical``/``valid``
-    may be per KV replica (``[R_kv, S]``) — expanded per query replica
-    here, like ``decode_attention``."""
+    """Fused paged decode attention: ``q [R, qlen, hd]`` against the
+    tabled pool pages. Returns ``f32[R, qlen, hd]``. ``qlen > 1`` serves
+    speculative verification (queries are the last ``qlen`` cache
+    positions, causally masked). ``phys``/``logical``/``valid`` may be
+    per KV replica (``[R_kv, S]``) — expanded per query replica here,
+    like ``decode_attention``."""
     R, qn, hd = q.shape
-    if qn != 1:
-        raise ValueError("paged decode is single-query (qlen == 1); "
-                         "speculative qlen > 1 uses the contiguous cache")
+    if qn != qlen:
+        raise ValueError(f"q has qlen {qn}, expected {qlen}")
+    if qlen > QPAD:
+        raise ValueError(f"qlen > {QPAD} not supported (got {qlen})")
     R_kv = cache.kv_len.shape[0]
     if R != R_kv * group:
         raise ValueError(f"R {R} != R_kv {R_kv} * group {group}")
@@ -432,12 +467,12 @@ def paged_attention(q, cache: PagedKVCache, phys, logical, valid, *,
     scale = float(scale) if scale is not None else float(hd) ** -0.5
 
     if not _common.use_kernels():
-        return _oracle(q, cache, phys, logical, valid, group, scale)
+        return _oracle(q, cache, phys, logical, valid, group, scale, qlen)
     interp = _common.interp() if interpret is None else interpret
 
     hd_pad = cache.k.shape[-1]
     qp = jnp.zeros((R, QPAD, hd_pad), jnp.float32)
-    qp = qp.at[:, :1, :hd].set(q.astype(jnp.float32) * scale)
+    qp = qp.at[:, :qlen, :hd].set(q.astype(jnp.float32) * scale)
     kv_len_q = jnp.repeat(cache.kv_len, group)
     P_alloc = cache.k.shape[0]
 
@@ -448,5 +483,6 @@ def paged_attention(q, cache: PagedKVCache, phys, logical, valid, *,
         phys.reshape(-1), logical.reshape(-1), valid.reshape(-1),
         kv_len_q, qp, cache.k, cache.v,
         _sc(cache.k_scale), _sc(cache.v_scale),
-        S=phys.shape[1], bk=cache.bk, group=group, interpret=interp)
-    return out[:, :1, :hd]
+        S=phys.shape[1], bk=cache.bk, group=group, qlen=qlen,
+        interpret=interp)
+    return out[:, :qlen, :hd]

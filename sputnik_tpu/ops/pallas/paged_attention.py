@@ -45,13 +45,13 @@ _NEG_LARGE = -1e30
 
 
 @functools.partial(jax.jit, static_argnames=("S", "bk", "group",
-                                              "interpret"))
+                                              "qlen", "interpret"))
 def paged_attention_kernel(
     tbl,       # i32[R * S]  PHYSICAL page ids (clamped in-range)
     logical,   # i32[R * S]  logical block ids (position math)
     valid,     # i32[R * S]  1 = slot participates
     kv_len,    # i32[R]      tokens currently in each sequence replica
-    q,         # f32[R, QPAD, hd_pad]  pre-scaled; rows >= 1 are junk
+    q,         # f32[R, QPAD, hd_pad]  pre-scaled; rows >= qlen are junk
     k_pool,    # f32/bf16/int8 [P, bk, hd_pad]
     v_pool,    # same dtype/shape
     k_scale,   # f32[P_pad8 // 8, 8, bk]  (free reshape of [P_pad8, bk])
@@ -60,10 +60,13 @@ def paged_attention_kernel(
     S: int,
     bk: int,
     group: int,
+    qlen: int = 1,
     interpret: bool = False,
 ):
-    """Single-query (qlen=1) paged decode attention.
-    Returns ``out f32[R, QPAD, hd_pad]`` (rows >= 1 undefined)."""
+    """Paged decode attention; ``qlen > 1`` serves speculative
+    verification (queries are the last ``qlen`` cache positions,
+    causally masked). Returns ``out f32[R, QPAD, hd_pad]`` (rows >=
+    ``qlen`` undefined)."""
     R = q.shape[0]
     hd_pad = q.shape[-1]
 
@@ -107,7 +110,7 @@ def paged_attention_kernel(
 
             kpos = log_ref[r * S + s] * bk + jax.lax.broadcasted_iota(
                 jnp.int32, (QPAD, bk), 1)
-            qpos = (len_ref[r] - 1) + jax.lax.broadcasted_iota(
+            qpos = (len_ref[r] - qlen) + jax.lax.broadcasted_iota(
                 jnp.int32, (QPAD, bk), 0)
             sc = jnp.where(kpos <= qpos, sc, _NEG_LARGE)
 

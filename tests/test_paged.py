@@ -377,3 +377,63 @@ def test_lmserver_paged_matches_contiguous():
                    n_pages=3 * b * HEADS * 2)
     toks, _ = srv.generate(params, prompt, n_new)
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks_ref))
+
+
+def test_paged_decode_multi_matches_contiguous():
+    """Speculative verification over the pool == the contiguous
+    decode_multi (same params/draft, f32), plus rollback parity."""
+    b, P, q = 2, 128, 4
+    model = _model(b, P)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((b, P, H)))
+    rng = np.random.RandomState(9)
+    prompts = jnp.asarray(rng.randn(b, P, H).astype(np.float32) * 0.3)
+    draft = jnp.asarray(rng.randn(b, q, H).astype(np.float32) * 0.3)
+
+    ref = SparseDecoder(model, s_max=P + 128, bk=128,
+                        cache_dtype=jnp.float32)
+    rc = ref.init_caches(b)
+    _, rc = ref.prefill(params, prompts, rc)
+    y_ref, rc2 = ref.decode_multi(params, draft, rc)
+
+    dec = PagedDecoder(model, n_pages=3 * b * HEADS, s_max=P + 128,
+                       bk=128, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    _, caches = dec.prefill(params, prompts, caches)
+    caches = dec.reserve(caches, q)
+    y, caches2 = dec.decode_multi(params, draft, caches)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(caches2[0].kv_len),
+                                  [P + q] * (b * HEADS))
+
+    # rollback 2 rejected tokens, then a uniform step must equal the
+    # contiguous decoder's after the same rollback
+    caches3 = dec.rollback(caches2, 2)
+    rc3 = ref.rollback(rc2, 2)
+    tok = jnp.asarray(rng.randn(b, 1, H).astype(np.float32) * 0.3)
+    caches3 = dec.reserve(caches3, 1)
+    y_p, _ = dec.decode_step(params, tok, caches3)
+    y_c, _ = ref.decode_step(params, tok, rc3)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_c),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paged_decode_multi_overflow_all_or_nothing():
+    """A draft that is not fully page-backed writes nothing and kv_len
+    stays (the rejection signal), per replica."""
+    cache, pool = pg.init_paged_cache(2, n_pages=4, bk=128, hd=16,
+                                      max_blocks=2)
+    import dataclasses as dc
+    cache = dc.replace(cache, kv_len=jnp.asarray([120, 10], jnp.int32))
+    cache = pg.ensure_pages(cache, pool, 1)   # block 0 only for r0
+    toks = jnp.ones((2, 4, 16))
+    out = pg.append_paged_seq(cache, toks, toks)
+    # replica 0 needs positions 120..123 -> block 0 only? 123 < 128: fits!
+    np.testing.assert_array_equal(np.asarray(out.kv_len), [124, 14])
+    # now replica 0 at 126 would cross into unallocated block 1
+    cache2 = dc.replace(out, kv_len=jnp.asarray([126, 14], jnp.int32))
+    out2 = pg.append_paged_seq(cache2, toks, toks)
+    np.testing.assert_array_equal(np.asarray(out2.kv_len), [126, 18])
+    tbl = np.asarray(cache2.page_table)
+    np.testing.assert_array_equal(np.asarray(out2.k[tbl[0, 0]]),
+                                  np.asarray(cache2.k[tbl[0, 0]]))

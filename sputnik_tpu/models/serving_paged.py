@@ -17,6 +17,7 @@ finished sequence's pages to the pools.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Sequence, Tuple
 
 import jax
@@ -111,6 +112,47 @@ class PagedDecoder(SparseDecoder):
 
     # -- decode ----------------------------------------------------------------
 
+    def _paged_decode_layers(self, params, x, caches, append_fn, qlen,
+                             advance, reduce_fn):
+        """Shared decode layer loop (one body for the uniform, ragged and
+        speculative steps — the contiguous decoder's `_decode_layers`
+        pattern): per layer, append via ``append_fn(cache, k3, v3) ->
+        cache`` then attend through the physical page table built from
+        the step-shared logical table."""
+        m = self.model
+        b = x.shape[0]
+        scale = 1.0 / float(np.sqrt(self.hd))
+        kv_len1 = jnp.minimum(caches[0].kv_len + advance,
+                              self.nb * self.bk)
+        logical, valid0 = decode_block_table(
+            kv_len1, s_max=self.s_max, bk=self.bk,
+            window_blocks=self.window_blocks,
+            sink_blocks=self.sink_blocks)
+
+        new_caches = []
+        for i in range(m.num_layers):
+            lp = self._layer_params(params, i)
+            cache = caches[i]
+
+            def attn(q, k, v):
+                nonlocal cache
+                cache = append_fn(cache, self._fold(k), self._fold(v))
+                phys = jnp.take_along_axis(
+                    cache.page_table,
+                    jnp.clip(logical, 0, cache.max_blocks - 1), axis=1)
+                valid = valid0 * (phys >= 0).astype(jnp.int32)
+                phys = jnp.where(valid == 1, phys, cache.dump_page)
+                ctx = pg.paged_attention(
+                    self._fold(q), cache, phys, logical, valid,
+                    group=self.group, qlen=qlen, scale=scale)
+                ctx = ctx.reshape(b, m.num_heads, qlen, self.hd)
+                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
+                    b, qlen, m.num_heads * self.hd)
+
+            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
+            new_caches.append(cache)
+        return x, tuple(new_caches)
+
     def decode_step(self, params, x_tok, caches, active=None,
                     reduce_fn=None):
         """One token per sequence (jit-able; run ``reserve`` first).
@@ -119,46 +161,18 @@ class PagedDecoder(SparseDecoder):
         current page differs), so uniform and ragged batches share this
         one step; ``active`` freezes finished slots exactly like the
         contiguous ragged step. Returns ``(y [b, 1, h], caches)``."""
-        m = self.model
-        b = x_tok.shape[0]
-        scale = 1.0 / float(np.sqrt(self.hd))
         act_r = None
         if active is not None:
             act_r = jnp.repeat(jnp.asarray(active).astype(jnp.int32),
                                self.kv_heads)
-        adv = act_r if act_r is not None else 1
-        kv_len1 = jnp.minimum(caches[0].kv_len + adv,
-                              self.nb * self.bk)
-        logical, valid0 = decode_block_table(
-            kv_len1, s_max=self.s_max, bk=self.bk,
-            window_blocks=self.window_blocks,
-            sink_blocks=self.sink_blocks)
 
-        new_caches = []
-        x = x_tok
-        for i in range(m.num_layers):
-            lp = self._layer_params(params, i)
-            cache = caches[i]
+        def append(cache, k3, v3):
+            return pg.append_paged(cache, k3[:, 0], v3[:, 0],
+                                   active=act_r)
 
-            def attn(q, k, v):
-                nonlocal cache
-                cache = pg.append_paged(cache, self._fold(k)[:, 0],
-                                        self._fold(v)[:, 0], active=act_r)
-                phys = jnp.take_along_axis(
-                    cache.page_table,
-                    jnp.clip(logical, 0, cache.max_blocks - 1), axis=1)
-                valid = valid0 * (phys >= 0).astype(jnp.int32)
-                phys = jnp.where(valid == 1, phys, cache.dump_page)
-                ctx = pg.paged_attention(
-                    self._fold(q), cache, phys, logical, valid,
-                    group=self.group, scale=scale)       # [R, 1, hd]
-                ctx = ctx.reshape(b, m.num_heads, 1, self.hd)
-                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
-                    b, 1, m.num_heads * self.hd)
-
-            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
-            new_caches.append(cache)
-        return x, tuple(new_caches)
+        return self._paged_decode_layers(
+            params, x_tok, caches, append, 1,
+            act_r if act_r is not None else 1, reduce_fn)
 
     def decode_step_ragged(self, params, x_tok, caches, active=None,
                            reduce_fn=None):
@@ -172,50 +186,30 @@ class PagedDecoder(SparseDecoder):
         ``q <= 8`` draft tokens at once (``reserve(caches, q)`` first).
         Per-replica all-or-nothing like the contiguous path: a replica
         whose draft doesn't fit (pages/table) writes nothing and its
-        ``kv_len`` stays — THE rejection signal. See
-        ``SparseDecoder.decode_multi`` for the window caveat."""
-        m = self.model
-        b, qn, _ = x_toks.shape
-        scale = 1.0 / float(np.sqrt(self.hd))
-        kv_len1 = jnp.minimum(caches[0].kv_len + qn, self.nb * self.bk)
-        logical, valid0 = decode_block_table(
-            kv_len1, s_max=self.s_max, bk=self.bk,
-            window_blocks=self.window_blocks,
-            sink_blocks=self.sink_blocks)
+        ``kv_len`` stays — the rejection signal (compare kv_len
+        before/after). See ``SparseDecoder.decode_multi`` for the window
+        caveat; reject tokens with the PER-REPLICA ``rollback``."""
+        qn = x_toks.shape[1]
 
-        new_caches = []
-        x = x_toks
-        for i in range(m.num_layers):
-            lp = self._layer_params(params, i)
-            cache = caches[i]
+        def append(cache, k3, v3):
+            return pg.append_paged_seq(cache, k3, v3)
 
-            def attn(q, k, v):
-                nonlocal cache
-                cache = pg.append_paged_seq(cache, self._fold(k),
-                                            self._fold(v))
-                phys = jnp.take_along_axis(
-                    cache.page_table,
-                    jnp.clip(logical, 0, cache.max_blocks - 1), axis=1)
-                valid = valid0 * (phys >= 0).astype(jnp.int32)
-                phys = jnp.where(valid == 1, phys, cache.dump_page)
-                ctx = pg.paged_attention(
-                    self._fold(q), cache, phys, logical, valid,
-                    group=self.group, qlen=qn, scale=scale)
-                ctx = ctx.reshape(b, m.num_heads, qn, self.hd)
-                return jnp.transpose(ctx, (0, 2, 1, 3)).reshape(
-                    b, qn, m.num_heads * self.hd)
+        return self._paged_decode_layers(params, x_toks, caches, append,
+                                         qn, qn, reduce_fn)
 
-            x, _ = self._block(lp, x, attn, reduce_fn=reduce_fn)
-            new_caches.append(cache)
-        return x, tuple(new_caches)
-
-    @staticmethod
-    def rollback(caches, n: int):
+    def rollback(self, caches, n):
         """Reject the last ``n`` speculative tokens: shrink ``kv_len``.
         Pages stay allocated (later appends overwrite in place — no data
-        movement, no pool traffic)."""
-        import dataclasses
+        movement, no pool traffic).
 
+        ``n`` may be a scalar (uniform batch) or PER-SLOT ``i32[b]`` —
+        batched speculative loops accept different prefix lengths per
+        sequence, and a rejected replica (kv_len unchanged) must roll
+        back ZERO: a scalar ``n`` over a mixed accept/reject batch would
+        silently destroy real committed tokens on the rejected slots."""
+        n = jnp.asarray(n, jnp.int32)
+        if n.ndim == 1:
+            n = jnp.repeat(n, self.kv_heads)
         return tuple(
             dataclasses.replace(c, kv_len=jnp.maximum(c.kv_len - n, 0))
             for c in caches)

@@ -315,7 +315,7 @@ def append_paged(cache: PagedKVCache, k_new, v_new,
 
 def append_paged_seq(cache: PagedKVCache, k_new, v_new,
                      active=None) -> PagedKVCache:
-    """Append ``q <= 8`` tokens per replica (speculative drafts).
+    """Append ``q <= QPAD`` tokens per replica (speculative drafts).
     ``k_new``/``v_new``: ``[R_kv, q, hd]``.
 
     ALL-OR-NOTHING per replica, like ``append_kv_seq``: a replica whose
@@ -325,8 +325,8 @@ def append_paged_seq(cache: PagedKVCache, k_new, v_new,
     write unrolls into ``q`` single-token paged-append kernel passes
     (each moves tens of KB — the draft is 8 tokens, not a prompt)."""
     R, q, _ = k_new.shape
-    if q > 8:
-        raise ValueError(f"draft length {q} > 8")
+    if q > QPAD:
+        raise ValueError(f"draft length {q} > {QPAD}")
     bk = cache.bk
     # every target position must have a page and fit the table
     pos = cache.kv_len[:, None] + jnp.arange(q)[None, :]       # [R, q]

@@ -437,3 +437,71 @@ def test_paged_decode_multi_overflow_all_or_nothing():
     tbl = np.asarray(cache2.page_table)
     np.testing.assert_array_equal(np.asarray(out2.k[tbl[0, 0]]),
                                   np.asarray(cache2.k[tbl[0, 0]]))
+
+
+def test_paged_attention_kernel_qlen_parity():
+    """qlen > 1 through the PALLAS kernel (interpret) vs the oracle —
+    the speculative path's kernel lines, not just its jnp twin."""
+    R_kv, bk, hd, qlen = 2, 128, 32, 4
+    cache, pool = pg.init_paged_cache(R_kv, n_pages=8, bk=bk, hd=hd,
+                                      max_blocks=3, dtype=jnp.float32)
+    rng = np.random.RandomState(10)
+    lengths = np.array([200, 131])
+    cache = dataclasses.replace(cache,
+                                kv_len=jnp.asarray(lengths, jnp.int32))
+    cache = pg.ensure_pages(cache, pool, 0)
+    tbl = np.asarray(cache.page_table)
+    k_np = np.asarray(cache.k).copy()
+    for r in range(R_kv):
+        for blk in range((lengths[r] + bk - 1) // bk):
+            k_np[tbl[r, blk], :, :hd] = rng.randn(bk, hd)
+    cache = dataclasses.replace(cache, k=jnp.asarray(k_np),
+                                v=jnp.asarray(k_np[:, ::-1]))
+    phys, logical, valid = pg.paged_block_table(cache, window_blocks=3)
+    q = jnp.asarray(rng.randn(R_kv, qlen, hd).astype(np.float32))
+
+    st.set_backend("xla")
+    try:
+        want = pg.paged_attention(q, cache, phys, logical, valid,
+                                  qlen=qlen)
+    finally:
+        st.set_backend("auto")
+    st.set_backend("pallas")
+    try:
+        got = pg.paged_attention(q, cache, phys, logical, valid,
+                                 qlen=qlen)
+    finally:
+        st.set_backend("auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_paged_rollback_per_replica():
+    """Mixed accept/reject batches roll back PER SLOT: the rejected
+    slot's kv_len (the rejection signal) must not move — a scalar n
+    would silently destroy its real committed tokens."""
+    b, P, q = 2, 128, 4
+    model = _model(b, P)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((b, P, H)))
+    rng = np.random.RandomState(11)
+    prompts = jnp.asarray(rng.randn(b, P, H).astype(np.float32) * 0.3)
+    draft = jnp.asarray(rng.randn(b, q, H).astype(np.float32) * 0.3)
+
+    # pool sized so slot 1's draft pages CANNOT be reserved: reserve for
+    # slot 0 only via ensure_pages(replicas=...)
+    dec = PagedDecoder(model, n_pages=2 * b * HEADS + HEADS, s_max=P + 128,
+                       bk=128, cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+    _, caches = dec.prefill(params, prompts, caches)
+    caches = tuple(pg.ensure_pages(c, pool, q, replicas=range(HEADS))
+                   for c, pool in zip(caches, dec.pools))
+
+    _, caches2 = dec.decode_multi(params, draft, caches)
+    kv = np.asarray(caches2[0].kv_len)
+    assert (kv[:HEADS] == P + q).all()     # slot 0 accepted
+    assert (kv[HEADS:] == P).all()         # slot 1 rejected (no pages)
+
+    # slot 0 keeps 1 of 4 draft tokens; slot 1 rolls back zero
+    caches3 = dec.rollback(caches2, jnp.asarray([q - 1, 0]))
+    kv3 = np.asarray(caches3[0].kv_len)
+    np.testing.assert_array_equal(kv3, [P + 1] * HEADS + [P] * HEADS)

@@ -133,10 +133,19 @@ class LMServer:
     block-KV cache.
     """
 
-    def __init__(self, lm: SparseLM, *, s_max: int, bk: int = 256,
+    def __init__(self, lm: SparseLM, *, s_max: Optional[int] = None,
+                 bk: int = 256,
                  window: Optional[int] = None, sinks: int = 0,
-                 cache_dtype=jnp.bfloat16, n_pages: Optional[int] = None):
+                 cache_dtype=jnp.bfloat16, n_pages: Optional[int] = None,
+                 decoder: Optional[SparseDecoder] = None):
         self.lm = lm
+        if decoder is not None:
+            # externally-built runtime (tensor-parallel serving wraps the
+            # PER-SHARD decoder here and runs generate inside shard_map)
+            self.decoder = decoder
+            return
+        if s_max is None:
+            raise ValueError("s_max is required (unless decoder= is given)")
         if n_pages is not None:
             # paged serving (ops/paged.py): KV in a shared page pool.
             # generate() reserves its decode pages up front (a HOST
@@ -216,7 +225,7 @@ class LMServer:
                  top_p: Optional[float] = None,
                  eos_id: Optional[int] = None, pad_id: int = 0,
                  repetition_penalty: float = 1.0,
-                 prompt_lengths=None, reduce_fn=None):
+                 prompt_lengths=None, reduce_fn=None, caches=None):
         """Generate ``n_new`` tokens after prompt ``tokens [b, P]``.
 
         Returns ``(new_tokens [b, n_new], caches)``. Jits as one program
@@ -279,12 +288,19 @@ class LMServer:
         # prefill at the activation level and head ONLY the last position
         # (self.prefill scores all P positions — a [b, P, vocab] logits
         # tensor nobody reads here, ~GBs at long prompts / big vocabs)
+        # ``caches``: externally-prepared caches (the tensor-parallel
+        # wrapper pre-reserves paged pools on the host and runs this
+        # whole function inside shard_map) — then NO host scheduling
+        # happens here.
+        ext_caches = caches is not None
+        if caches is None:
+            caches = self.init_caches(tokens.shape[0])
         p, core_params = self._split(params)
         y, caches = self.decoder.prefill(
             core_params, self._embed(p, tokens),
-            self.init_caches(tokens.shape[0]), reduce_fn=reduce_fn,
+            caches, reduce_fn=reduce_fn,
             lengths=prompt_lengths)
-        if hasattr(self.decoder, "reserve"):
+        if hasattr(self.decoder, "reserve") and not ext_caches:
             # paged pool: allocate every decode page before the scan
             # (host scheduler step — runs once, outside the traced loop)
             caches = self.decoder.reserve(caches, n_new)

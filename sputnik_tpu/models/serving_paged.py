@@ -102,11 +102,19 @@ class PagedDecoder(SparseDecoder):
     def _prefill_setup(self, caches, T: int):
         if T % self.bk:
             raise ValueError(f"prompt length {T} must pad to bk={self.bk}")
+        if isinstance(caches[0].kv_len, jax.core.Tracer):
+            # under a trace (tensor-parallel shard_map, or a jitted
+            # prefill) the host scheduler can't run — the caller must
+            # have reserved the prompt pages already (PagedTPDecoder
+            # and a pre-reserved jit both do)
+            return caches
         return self.reserve(caches, T)     # pages for the whole prompt
 
     def _prefill_write(self, cache, k3, v3, len_r):
         T = k3.shape[1]
-        pages = np.asarray(cache.page_table)[:, : T // self.bk]
+        pages = cache.page_table[:, : T // self.bk]
+        if not isinstance(pages, jax.core.Tracer):
+            pages = np.asarray(pages)      # host path: validated scatter
         return pg.write_prompt_pages(cache, k3, v3, replica_pages=pages,
                                      lengths=len_r)
 

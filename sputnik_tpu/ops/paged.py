@@ -350,7 +350,14 @@ def write_prompt_pages(cache: PagedKVCache, k_seq, v_seq, *,
     ``i32[R_kv, T // bk]`` physical page per prompt block (from
     ``ensure_pages`` + the cache's table, fetched host-side at admission
     time). ``lengths``: valid tokens per replica (pad tokens are zeroed
-    and never attended thanks to ``kv_len``)."""
+    and never attended thanks to ``kv_len``).
+
+    ``replica_pages`` may also be a TRACED array (tensor-parallel
+    serving runs the prefill inside ``shard_map``, where the table
+    cannot be fetched to host): the write becomes a device scatter and
+    unallocated (< 0) ids are redirected to the dump page instead of
+    raising — the caller must have reserved the prompt's pages before
+    entering the trace (``PagedTPDecoder.prefill`` does)."""
     R, T, hd = k_seq.shape
     bk = cache.bk
     if T % bk:
@@ -366,14 +373,19 @@ def write_prompt_pages(cache: PagedKVCache, k_seq, v_seq, *,
     kq, vq, ks, vs = pad_quantize_tokens(k_seq, v_seq, hd_pad,
                                          cache.k.dtype)
 
-    pages = np.asarray(replica_pages).reshape(-1)          # [R * nb]
-    if (pages < 0).any():
-        raise ValueError("unallocated page in replica_pages")
+    if isinstance(replica_pages, jax.core.Tracer):
+        pages = jnp.reshape(replica_pages, (-1,))          # [R * nb]
+        idx = jnp.where(pages < 0, cache.k.shape[0] - 1,
+                        pages).astype(jnp.int32)
+    else:
+        pages = np.asarray(replica_pages).reshape(-1)      # [R * nb]
+        if (pages < 0).any():
+            raise ValueError("unallocated page in replica_pages")
+        idx = jnp.asarray(pages, jnp.int32)
     kq = kq.reshape(R * nb, bk, hd_pad)
     vq = vq.reshape(R * nb, bk, hd_pad)
     ks = ks.reshape(R * nb, bk)
     vs = vs.reshape(R * nb, bk)
-    idx = jnp.asarray(pages, jnp.int32)
     return dataclasses.replace(
         cache,
         k=cache.k.at[idx].set(kq),

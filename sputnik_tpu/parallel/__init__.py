@@ -14,7 +14,8 @@ from .flash_sharded import (ShardedFlashSpec, flash_attention_sharded,
                             flash_attention_kv_sharded)
 from .ring_flash import RingFlashSpec, ring_flash_attention
 from .pipeline import PipelineSpec, pipeline_apply, stack_stage_params
-from .serving_tp import TPDecoder
+from .lm_tp import TPLMServer
+from .serving_tp import PagedTPDecoder, TPDecoder
 from .sharded_compressed import (
     ShardedCompressedSpec,
     sharded_sddmm_c,
@@ -34,7 +35,9 @@ from .sharded_ops import (
 )
 
 __all__ = [
+    "PagedTPDecoder",
     "PipelineSpec",
+    "TPLMServer",
     "RowPartition",
     "TPDecoder",
     "ShardedCompressedSpec",

@@ -29,7 +29,8 @@ the sharded runtime is the single-chip runtime plus a reduction hook.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import dataclasses
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +38,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.serving import SparseDecoder
+from ..models.serving_paged import PagedDecoder
 from ..models.transformer import SparseTransformer
+from ..ops import paged as pg
 from ..ops.decode import KVCache, init_kv_cache
 
-__all__ = ["TPDecoder"]
+__all__ = ["TPDecoder", "PagedTPDecoder"]
 
 
 def _np(x):
@@ -121,11 +124,21 @@ class TPDecoder:
             num_kv_heads=None if self.KV_l == self.H_l else self.KV_l,
             ffn_hidden_size=model.ffn_hidden_size // tp,
         )
-        self._ld = SparseDecoder(
+        self._ld = self._make_local_decoder(
             local_model, s_max=s_max, bk=bk, window=window, sinks=sinks,
             cache_dtype=cache_dtype)
         self.s_max, self.bk = self._ld.s_max, bk
         self.cache_dtype = cache_dtype
+
+    def _make_local_decoder(self, local_model, **kw) -> SparseDecoder:
+        """Hook: the per-shard runtime (``PagedTPDecoder`` substitutes a
+        ``PagedDecoder`` — the sharded runtime stays the single-chip
+        runtime plus the psum hook)."""
+        return SparseDecoder(local_model, **kw)
+
+    @property
+    def n_shards(self) -> int:
+        return self.dp * self.tp
 
     # -- parameter sharding --------------------------------------------------
 
@@ -296,3 +309,195 @@ class TPDecoder:
         return self._tp_call(self._ld.decode_loop, sparams, x_tok, caches,
                              y_batch_dim=1, n_tokens=n_tokens,
                              next_input=next_input)
+
+
+class PagedTPDecoder(TPDecoder):
+    """Tensor/data-parallel serving over per-shard KV page pools — the
+    composition of ``TPDecoder`` (head-sharded decode, 2 psums/layer)
+    and ``PagedDecoder`` (vLLM-style pooled KV, ``ops/paged.py``).
+
+    Layout: every ``PagedKVCache`` leaf stacks the ``dp * tp`` shards on
+    dim 0 (``shard_map`` with ``P((dp, tp))`` hands each device exactly
+    its local pool + tables), so INSIDE the mesh each shard runs the
+    unmodified single-chip ``PagedDecoder`` over a pool of ``n_pages``
+    pages holding its own ``b_local * kv_heads/tp`` replicas. Page ids
+    are shard-local; the host keeps one ``PagePool`` allocator per
+    (layer, shard). Host scheduler steps (``reserve``/``release``/
+    ``share_prefix``) slice the stacked tables per shard, run the
+    single-chip host op, and write the slices back — allocation stays
+    control flow, decode stays one jit-able SPMD program.
+
+    Contract (same as ``PagedDecoder``): call ``reserve(caches, n)``
+    between jitted decode segments; ``prefill`` reserves its own prompt
+    pages (a host step — do not wrap ``prefill`` itself in an outer
+    ``jax.jit``; the shard_map body still compiles).
+
+    ``n_pages`` is PER SHARD: each shard independently pools its
+    ``b_local * kv_heads/tp`` replicas, so size it as
+    ``ceil(expected_tokens_per_slot_sum / bk / dp) + b_local * KV_l``.
+    """
+
+    def __init__(self, model: SparseTransformer, mesh: Mesh, *,
+                 n_pages: int, axis: str = "tp",
+                 batch_axis: Optional[str] = None,
+                 s_max: int, bk: int = 256,
+                 window: Optional[int] = None, sinks: int = 0,
+                 cache_dtype=jnp.bfloat16):
+        self.n_pages = n_pages           # read by _make_local_decoder
+        super().__init__(model, mesh, axis=axis, batch_axis=batch_axis,
+                         s_max=s_max, bk=bk, window=window, sinks=sinks,
+                         cache_dtype=cache_dtype)
+        self.pools: List[List[pg.PagePool]] = []   # [layer][shard]
+        self._b_local = None
+
+    def _make_local_decoder(self, local_model, **kw) -> PagedDecoder:
+        return PagedDecoder(local_model, n_pages=self.n_pages, **kw)
+
+    # -- cache management (host scheduler over stacked tables) ---------------
+
+    def init_caches(self, batch: int) -> Tuple[pg.PagedKVCache, ...]:
+        if batch % self.dp:
+            raise ValueError(f"batch {batch} not divisible by dp {self.dp}")
+        self._b_local = batch // self.dp
+        self._R_local = self._b_local * self.KV_l
+        caches, self.pools = [], []
+        n_sh = self.n_shards
+        for _ in range(self.model.num_layers):
+            local, _ = pg.init_paged_cache(
+                self._R_local, self.n_pages, self.bk, self.hd,
+                self._ld.nb, dtype=self.cache_dtype)
+            self._P_alloc = local.k.shape[0]
+
+            def tile0(a):
+                return jnp.tile(a, (n_sh,) + (1,) * (a.ndim - 1))
+
+            caches.append(jax.tree.map(tile0, local))
+            self.pools.append([pg.PagePool(self.n_pages)
+                               for _ in range(n_sh)])
+        return tuple(caches)
+
+    def _table_view(self, c: pg.PagedKVCache, s: int) -> pg.PagedKVCache:
+        """Shard ``s``'s table/length rows over the GLOBAL pool arrays —
+        enough for table-only host ops (``ensure_pages``/
+        ``free_pages_of`` never touch pool data)."""
+        R = self._R_local
+        return dataclasses.replace(
+            c, page_table=c.page_table[s * R:(s + 1) * R],
+            kv_len=c.kv_len[s * R:(s + 1) * R])
+
+    def _full_view(self, c: pg.PagedKVCache, s: int) -> pg.PagedKVCache:
+        P, R = self._P_alloc, self._R_local
+        return pg.PagedKVCache(
+            k=c.k[s * P:(s + 1) * P], v=c.v[s * P:(s + 1) * P],
+            k_scale=c.k_scale[s * P:(s + 1) * P],
+            v_scale=c.v_scale[s * P:(s + 1) * P],
+            page_table=c.page_table[s * R:(s + 1) * R],
+            kv_len=c.kv_len[s * R:(s + 1) * R])
+
+    def _set_table(self, c, s, view):
+        R = self._R_local
+        return dataclasses.replace(
+            c,
+            page_table=c.page_table.at[s * R:(s + 1) * R].set(
+                view.page_table),
+            kv_len=c.kv_len.at[s * R:(s + 1) * R].set(view.kv_len))
+
+    def _set_full(self, c, s, view):
+        P = self._P_alloc
+        c = self._set_table(c, s, view)
+        return dataclasses.replace(
+            c,
+            k=c.k.at[s * P:(s + 1) * P].set(view.k),
+            v=c.v.at[s * P:(s + 1) * P].set(view.v),
+            k_scale=c.k_scale.at[s * P:(s + 1) * P].set(view.k_scale),
+            v_scale=c.v_scale.at[s * P:(s + 1) * P].set(view.v_scale))
+
+    def _slot_shards(self, slot: int):
+        """(dp-local slot, the tp shard indices holding it). Cache dim 0
+        is sharded ``P((dp, tp))`` = dp-major, so dp slice ``d`` owns
+        shards ``d*tp .. d*tp+tp-1`` (every tp shard carries its own KV
+        heads of the same batch slots)."""
+        if self._b_local is None:
+            raise ValueError("init_caches first")
+        if not 0 <= slot < self._b_local * self.dp:
+            raise ValueError(f"slot {slot} out of range")
+        d, ls = divmod(slot, self._b_local)
+        return ls, [d * self.tp + t for t in range(self.tp)]
+
+    def reserve(self, caches, n_tokens: int = 1):
+        """HOST scheduler step: pages for the next ``n_tokens`` appends
+        on every shard of every layer (call between jitted segments)."""
+        if self._b_local is None:
+            raise ValueError("init_caches first")
+        out = []
+        for li, c in enumerate(caches):
+            for s in range(self.n_shards):
+                v = pg.ensure_pages(self._table_view(c, s),
+                                    self.pools[li][s], n_tokens)
+                c = self._set_table(c, s, v)
+            out.append(c)
+        return tuple(out)
+
+    def release(self, caches, slot: int):
+        """Evict global batch slot ``slot``: free its pages on every tp
+        shard of its dp slice, every layer."""
+        ls, shards = self._slot_shards(slot)
+        out = []
+        for li, c in enumerate(caches):
+            for s in shards:
+                v = pg.free_pages_of(self._table_view(c, s),
+                                     self.pools[li][s], ls,
+                                     kv_heads=self.KV_l)
+                c = self._set_table(c, s, v)
+            out.append(c)
+        return tuple(out)
+
+    def share_prefix(self, caches, src: int, dst: int, n_tokens: int):
+        """Prefix caching across the mesh: slots must live in the SAME dp
+        slice (pages never cross pools — a cross-slice share would be a
+        copy, not a share; prefill the prompt there instead)."""
+        ls_src, sh_src = self._slot_shards(src)
+        ls_dst, sh_dst = self._slot_shards(dst)
+        if sh_src != sh_dst:
+            raise ValueError(
+                f"src slot {src} and dst slot {dst} live in different dp "
+                "slices; prefix pages cannot be shared across pools")
+        out = []
+        for li, c in enumerate(caches):
+            for s in sh_src:
+                v = pg.share_prefix(self._full_view(c, s),
+                                    self.pools[li][s], ls_src, ls_dst,
+                                    n_tokens, kv_heads=self.KV_l)
+                c = self._set_full(c, s, v)
+            out.append(c)
+        return tuple(out)
+
+    @property
+    def free_pages(self) -> List[List[int]]:
+        """Free pages per layer per shard."""
+        return [[p.free_pages for p in layer] for layer in self.pools]
+
+    # -- sharded calls --------------------------------------------------------
+
+    def prefill(self, sparams, x, caches):
+        """Prompt pass: reserves the prompt's pages (HOST step), then the
+        sharded prefill writes pool pages inside the mesh (the traced
+        ``write_prompt_pages`` path). Eager-only at the top level, like
+        ``PagedDecoder.prefill`` — the shard_map body still compiles."""
+        T = x.shape[1]
+        if T % self.bk:
+            raise ValueError(f"prompt length {T} must pad to bk={self.bk}")
+        caches = self.reserve(caches, T)
+        return super().prefill(sparams, x, caches)
+
+    def rollback(self, caches, n):
+        """Reject the last ``n`` speculative tokens (scalar, or per-slot
+        ``i32[batch]`` — expanded to the dp-major stacked replica rows)."""
+        n = jnp.asarray(n, jnp.int32)
+        if n.ndim == 1:
+            nl = n.reshape(self.dp, self._b_local)
+            nl = jnp.repeat(nl, self.KV_l, axis=1)        # [dp, R_local]
+            n = jnp.tile(nl[:, None, :], (1, self.tp, 1)).reshape(-1)
+        return tuple(
+            dataclasses.replace(c, kv_len=jnp.maximum(c.kv_len - n, 0))
+            for c in caches)

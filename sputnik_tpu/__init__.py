@@ -38,7 +38,7 @@ __version__ = "0.1.0"
 def __getattr__(name):
     # `models` pulls in flax (an optional dependency) — load it lazily so
     # the core op/topology layers work on a bare jax+numpy install.
-    if name in ("models", "parallel"):
+    if name in ("models", "parallel", "training"):
         import importlib
 
         mod = importlib.import_module(f".{name}", __name__)

@@ -20,6 +20,7 @@ EXAMPLES = [
     ("train_seq_parallel.py", ["--small"]),
     ("serve_sparse_int8.py", ["--small"]),
     ("train_sparse_transformer.py", ["--small", "--steps", "3"]),
+    ("dynamic_sparse_training.py", ["--small"]),
 ]
 
 

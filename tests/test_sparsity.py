@@ -1,0 +1,216 @@
+"""Dynamic sparse training (``sputnik_tpu.training``): magnitude pruning,
+RigL connectivity updates, value/optimizer-state remapping, and the
+end-to-end SparseLinear update loop.
+
+No reference counterpart (SURVEY.md §2 lists none) — oracle is the
+definition: top-k membership checks plus dense-masked matmul parity
+through the updated topologies.
+"""
+
+import numpy as np
+import pytest
+
+import sputnik_tpu as st
+from sputnik_tpu.training import (
+    cubic_sparsity_schedule,
+    dense_linear_grad,
+    magnitude_prune,
+    remap_values,
+    rigl_update,
+    rigl_update_linear,
+    topology_from_dense,
+)
+
+
+def _dense_of(topo, values):
+    out = np.zeros((topo.m, topo.n), np.float32)
+    out[topo.row_ids[: topo.nnz], topo.column_indices[: topo.nnz]] = \
+        np.asarray(values)[: topo.nnz]
+    return out
+
+
+def _key_set(topo):
+    return set(zip(topo.row_ids[: topo.nnz].tolist(),
+                   topo.column_indices[: topo.nnz].tolist()))
+
+
+def test_topology_from_dense_keeps_topk():
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 96).astype(np.float32)
+    topo, vals = topology_from_dense(w, density=0.25)
+    assert topo.nnz == round(0.25 * 64 * 96)
+    # every kept |w| >= every dropped |w|
+    kept = _dense_of(topo, vals)
+    thresh = np.abs(kept[kept != 0]).min()
+    dropped = np.abs(w[kept == 0])
+    assert dropped.max() <= thresh + 1e-7
+    # values carried exactly
+    np.testing.assert_array_equal(kept[kept != 0], w[kept != 0])
+
+
+def test_magnitude_prune_drops_smallest_and_keeps_shape():
+    rng = np.random.RandomState(1)
+    w = rng.randn(32, 48).astype(np.float32)
+    topo, vals = topology_from_dense(w, density=0.5)
+    new, nvals = magnitude_prune(topo, vals, n_drop=100,
+                                 keep_nnz_pad=True)
+    assert new.nnz == topo.nnz - 100
+    assert new.nnz_pad == topo.nnz_pad          # buffers keep shape
+    old_abs = np.abs(vals[: topo.nnz])
+    surviving = np.abs(nvals[: new.nnz])
+    assert surviving.min() >= np.sort(old_abs)[99]  # smallest 100 gone
+    # survivors keep their exact values
+    d_old, d_new = _dense_of(topo, vals), _dense_of(new, nvals)
+    mask = d_new != 0
+    np.testing.assert_array_equal(d_new[mask], d_old[mask])
+
+
+def test_rigl_update_semantics():
+    rng = np.random.RandomState(2)
+    w = rng.randn(40, 56).astype(np.float32)
+    topo, vals = topology_from_dense(w, density=0.3)
+    g = rng.randn(40, 56).astype(np.float32)
+    k = round(0.1 * topo.nnz)
+
+    new, nvals = rigl_update(topo, vals, g, fraction=0.1)
+    assert (new.nnz, new.nnz_pad) == (topo.nnz, topo.nnz_pad)
+
+    old_keys, new_keys = _key_set(topo), _key_set(new)
+    dropped = old_keys - new_keys
+    grown = new_keys - old_keys
+    assert len(dropped) == len(grown) == k
+
+    # dropped are the k smallest |value| actives
+    d_old = _dense_of(topo, vals)
+    drop_mags = sorted(abs(d_old[r, c]) for r, c in dropped)
+    kept_min = min(abs(d_old[r, c]) for r, c in old_keys - dropped)
+    assert drop_mags[-1] <= kept_min + 1e-7
+
+    # grown are the k largest |grad| among previously-inactive slots
+    ag = np.abs(g)
+    grow_mags = sorted(ag[r, c] for r, c in grown)
+    inactive_rest = [ag[r, c] for r in range(40) for c in range(56)
+                     if (r, c) not in old_keys and (r, c) not in grown]
+    assert grow_mags[0] >= max(inactive_rest) - 1e-7
+
+    # grown start at zero, survivors carry over
+    d_new = _dense_of(new, nvals)
+    for r, c in grown:
+        assert d_new[r, c] == 0.0
+    for r, c in old_keys & new_keys:
+        assert d_new[r, c] == d_old[r, c]
+
+
+def test_remap_values_optimizer_state():
+    rng = np.random.RandomState(3)
+    w = rng.randn(24, 24).astype(np.float32)
+    topo, vals = topology_from_dense(w, density=0.4)
+    mu = rng.rand(topo.nnz_pad).astype(np.float32)
+    new, _ = rigl_update(topo, vals, rng.randn(24, 24), fraction=0.2)
+    nmu = remap_values(topo, new, mu)
+    d_old, d_new = _dense_of(topo, mu), _dense_of(new, nmu)
+    both = (d_old != 0) & (_dense_of(topo, vals) != 0)
+    shared = _key_set(topo) & _key_set(new)
+    for r, c in shared:
+        assert d_new[r, c] == d_old[r, c]
+    for r, c in _key_set(new) - shared:
+        assert d_new[r, c] == 0.0
+    del both
+
+
+def test_rigl_spmm_parity_after_update():
+    """The updated topology computes the dense-masked product exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(4)
+    w = rng.randn(128, 128).astype(np.float32)
+    topo, vals = topology_from_dense(w, density=0.2)
+    new, nvals = rigl_update(topo, vals, rng.randn(128, 128),
+                             fraction=0.15)
+    x = rng.randn(128, 16).astype(np.float32)
+    y = st.spmm(new, jnp.asarray(nvals), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), _dense_of(new, nvals) @ x,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_cubic_schedule():
+    s0, s1 = 0.0, 0.9
+    kw = dict(s_init=s0, s_final=s1, t_start=100, t_end=500)
+    assert cubic_sparsity_schedule(0, **kw) == s0
+    assert cubic_sparsity_schedule(100, **kw) == s0
+    assert cubic_sparsity_schedule(500, **kw) == s1
+    assert cubic_sparsity_schedule(10_000, **kw) == s1
+    mid = [cubic_sparsity_schedule(t, **kw) for t in range(100, 501, 50)]
+    assert all(b >= a for a, b in zip(mid, mid[1:]))  # monotone
+    with pytest.raises(ValueError):
+        cubic_sparsity_schedule(0, s_init=0, s_final=1, t_start=5, t_end=5)
+
+
+@pytest.mark.parametrize("layout", ["csr", "panel"])
+def test_rigl_update_linear_end_to_end(layout):
+    """Two optimizer segments around a RigL update: shapes stable,
+    moments carried, loss keeps decreasing after the topology swap."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sputnik_tpu.models.linear import SparseLinear
+
+    rng = np.random.RandomState(5)
+    m, n, b = 64, 96, 32
+    w0 = rng.randn(m, n).astype(np.float32)
+    topo, _ = topology_from_dense(w0, density=0.25)
+    layer = SparseLinear(topology=topo, use_bias=True, layout=layout)
+
+    x = rng.randn(b, n).astype(np.float32)
+    w_true = rng.randn(m, n).astype(np.float32) * 0.3
+    y_true = x @ w_true.T
+
+    variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    tx = optax.adam(3e-2)
+    opt_state = tx.init(variables["params"])
+
+    def make_step(lyr):
+        @jax.jit
+        def step(v, opt_state, x, y):
+            def loss_fn(p):
+                pred = lyr.apply({"params": p}, x)
+                return jnp.mean((pred - y) ** 2), pred
+
+            (l, pred), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                v["params"])
+            upd, opt_state = tx.update(g, opt_state, v["params"])
+            return {"params": optax.apply_updates(v["params"], upd)}, \
+                opt_state, l, pred
+        return step
+
+    step = make_step(layer)
+    for _ in range(60):
+        variables, opt_state, loss0, pred = step(
+            variables, opt_state, jnp.asarray(x), jnp.asarray(y_true))
+
+    # dense grad at the update point (one host outer product)
+    gy = 2.0 / (b * m) * (np.asarray(pred) - y_true)
+    dg = dense_linear_grad(x, gy)
+
+    mu, nu = opt_state[0].mu, opt_state[0].nu
+    new_layer, variables, (mu_v, nu_v) = rigl_update_linear(
+        layer, variables, dg, fraction=0.2,
+        opt_values=[mu["values"], nu["values"]])
+    assert new_layer.topology.nnz == topo.nnz
+    assert np.asarray(variables["params"]["values"]).shape == \
+        np.asarray(mu["values"]).shape  # buffer shapes survived
+
+    # splice remapped moments back into the optimizer state
+    adam = opt_state[0]._replace(mu=dict(mu, values=jnp.asarray(mu_v)),
+                                 nu=dict(nu, values=jnp.asarray(nu_v)))
+    opt_state = (adam,) + tuple(opt_state[1:])
+
+    step2 = make_step(new_layer)
+    losses = []
+    for _ in range(60):
+        variables, opt_state, l, _ = step2(
+            variables, opt_state, jnp.asarray(x), jnp.asarray(y_true))
+        losses.append(float(l))
+    assert losses[-1] < float(loss0)          # training keeps improving
+    assert np.isfinite(losses).all()

@@ -37,15 +37,36 @@ class RowPartition:
     """
 
     def __init__(self, topo: SparseTopology, ndev: int, *,
-                 balance: bool = True, bm: int = 128):
+                 balance: bool = True, bm: int = 128,
+                 zigzag: bool = False):
         self.topo = topo
         self.ndev = ndev
-        m_pad = _round_up(topo.m, ndev * bm)
+        self.zigzag = bool(zigzag)
+        if zigzag:
+            balance = False  # zigzag IS the (ring-safe) balancing scheme
+            m_pad = _round_up(topo.m, 2 * ndev * bm)
+        else:
+            m_pad = _round_up(topo.m, ndev * bm)
         self.m_loc = m_pad // ndev
 
         lengths = np.zeros(m_pad, np.int64)
         lengths[: topo.m] = topo.row_lengths
-        if balance:
+        if zigzag:
+            # device d owns row chunks d and (2*ndev-1-d) of 2*ndev equal
+            # contiguous chunks — the causal-attention load balancer for
+            # the ring schedule: per-device work is uniform AND stays
+            # slice-shaped (two contiguous runs, no element gathers at
+            # the boundary; see RingFlashSpec.shard_queries).
+            half = self.m_loc // 2
+            perm = np.empty(m_pad, np.int64)
+            for d in range(ndev):
+                lo = d * self.m_loc
+                perm[lo: lo + half] = np.arange(d * half, (d + 1) * half)
+                c2 = 2 * ndev - 1 - d
+                perm[lo + half: lo + self.m_loc] = np.arange(
+                    c2 * half, (c2 + 1) * half)
+            self.perm = perm
+        elif balance:
             # longest-first serpentine round-robin over devices: device d,
             # pass p gets the (p*ndev + d)-th longest row on even passes and
             # the reversed pick on odd passes, evening out totals.

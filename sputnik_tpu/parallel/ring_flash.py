@@ -48,19 +48,25 @@ __all__ = ["RingFlashSpec", "ring_flash_attention"]
 _NEG_LARGE = -1e30
 
 
-def _slice_columns(topo: SparseTopology, lo: int, hi: int) -> SparseTopology:
-    """Host CSR column slice [lo, hi) with rebased indices."""
+def _slice_columns(topo: SparseTopology, windows) -> SparseTopology:
+    """Host CSR column slice to one or more [lo, hi) windows, rebased and
+    CONCATENATED in window order (window w's keys land at local columns
+    ``sum(len of earlier windows) + (c - lo_w)``). One window = a
+    contiguous band; two = a zigzag chunk pair."""
     ro, ci = topo.row_offsets, topo.column_indices
     offs = np.zeros(topo.m + 1, np.int32)
     cols = []
+    bases = np.cumsum([0] + [hi - lo for lo, hi in windows])
     for r in range(topo.m):
         cc = ci[ro[r]: ro[r + 1]]
-        cc = cc[(cc >= lo) & (cc < hi)] - lo
+        parts = [cc[(cc >= lo) & (cc < hi)] - lo + bases[w]
+                 for w, (lo, hi) in enumerate(windows)]
+        cc = np.concatenate(parts) if parts else cc[:0]
         cols.append(cc)
         offs[r + 1] = offs[r] + len(cc)
     cat = (np.concatenate(cols).astype(np.int32) if offs[-1]
            else np.zeros(0, np.int32))
-    return SparseTopology(topo.m, hi - lo, offs, cat)
+    return SparseTopology(topo.m, int(bases[-1]), offs, cat)
 
 
 class RingFlashSpec:
@@ -77,13 +83,19 @@ class RingFlashSpec:
     def __init__(self, part: RowPartition, *, bm: int = 128,
                  bk: int = 128, mesh: Optional[Mesh] = None,
                  axis: str = "sp"):
-        if not np.array_equal(part.perm, np.arange(len(part.perm))):
-            # a balanced permutation scatters query rows across shards;
-            # the band metadata would silently compute the WRONG
-            # attention (confirmed: max err ~2 vs the dense oracle)
+        if not (np.array_equal(part.perm, np.arange(len(part.perm)))
+                or getattr(part, "zigzag", False)):
+            # a serpentine-balanced permutation scatters query rows
+            # across shards; the band metadata would silently compute
+            # the WRONG attention (confirmed: max err ~2 vs the dense
+            # oracle). The two supported layouts are natural-order and
+            # zigzag (whose q/out boundary runs through shard_queries /
+            # unshard_output below).
             raise ValueError(
-                "ring attention requires a natural-order partition — "
-                "build it with RowPartition(..., balance=False)")
+                "ring attention requires a natural-order partition "
+                "(RowPartition(..., balance=False)) or the zigzag "
+                "load-balanced one (RowPartition(..., zigzag=True) + "
+                "spec.shard_queries/unshard_output)")
         self.part = part
         self.mesh, self.axis = mesh, axis
         self.bm, self.bk = bm, bk
@@ -98,12 +110,37 @@ class RingFlashSpec:
         self.n_loc = self.n_pad // ndev
         self.kb_loc = self.n_loc // bk
 
+        # zigzag partitions zigzag the KEY shards too: band j = key
+        # chunks j and (2*ndev-1-j) of 2*ndev contiguous chunks. This is
+        # what actually balances the LOCKSTEP schedule — with contiguous
+        # bands, band 0 is full work for almost every device and the
+        # per-step max stays one full band (eff ~0.56 measured on the
+        # block counts); with chunk-pair bands every (device, band) cell
+        # is exactly 2 half-chunk interactions (+diagonal halves), so the
+        # per-step max equals the mean.
+        self.kv_zigzag = bool(getattr(part, "zigzag", False))
+        if self.kv_zigzag:
+            if self.n_loc % (2 * bk):
+                raise ValueError(
+                    f"zigzag ring needs key half-chunks of whole "
+                    f"{bk}-blocks: n_pad={self.n_pad} over {ndev} "
+                    f"devices gives band {self.n_loc}, not divisible "
+                    f"by 2*bk={2 * bk}")
+            half_k = self.n_loc // 2
+
+            def windows(b):
+                c2 = 2 * ndev - 1 - b
+                return [(b * half_k, (b + 1) * half_k),
+                        (c2 * half_k, (c2 + 1) * half_k)]
+        else:
+            def windows(b):
+                return [(b * self.n_loc, (b + 1) * self.n_loc)]
+
         metas = []
         for d in range(ndev):
             shard = part.shards[d]
             for b in range(ndev):
-                sliced = _slice_columns(shard, b * self.n_loc,
-                                        (b + 1) * self.n_loc)
+                sliced = _slice_columns(shard, windows(b))
                 view = sliced.block(bm, bk)
                 metas.append(fs.build_flash_bwd_meta([view]))
 
@@ -147,6 +184,90 @@ class RingFlashSpec:
 
     def __eq__(self, other):
         return self is other
+
+    # -- boundary sharding helpers ----------------------------------------
+
+    def _zig_shard(self, x, n_total, zig):
+        """``x [R, s, hd]`` -> ``[ndev, R, n_total//ndev, hd]``; zigzag =
+        two contiguous chunks per device (chunk ``d`` + mirror
+        ``2*ndev-1-d``) — reshapes and one axis reverse, never an
+        element gather (TPU gathers on the value layout are the
+        catastrophic path)."""
+        ndev = self.part.ndev
+        R, s, hd = x.shape
+        xp = jnp.zeros((R, n_total, hd), x.dtype).at[:, :s].set(x)
+        if zig:
+            half = n_total // (2 * ndev)
+            xc = xp.reshape(R, 2 * ndev, half, hd)
+            top = xc[:, :ndev]                     # chunk d
+            bot = xc[:, ndev:][:, ::-1]            # chunk 2*ndev-1-d
+            xs = jnp.concatenate([top, bot], axis=2)
+        else:
+            xs = xp.reshape(R, ndev, n_total // ndev, hd)
+        return xs.transpose(1, 0, 2, 3)
+
+    def _zig_unshard(self, x_sh, s, zig):
+        ndev = self.part.ndev
+        _, R, n_loc, hd = x_sh.shape
+        o = x_sh.transpose(1, 0, 2, 3)             # [R, ndev, n_loc, hd]
+        if zig:
+            half = n_loc // 2
+            top = o[:, :, :half]                   # chunks 0..ndev-1
+            bot = o[:, :, half:][:, ::-1]          # chunks ndev..2ndev-1
+            o = jnp.concatenate([top, bot], axis=1)
+            o = o.reshape(R, 2 * ndev * half, hd)
+        else:
+            o = o.reshape(R, ndev * n_loc, hd)
+        return o[:, :s]
+
+    def shard_queries(self, q):
+        """``q [R, s, hd]`` (natural row order) -> the partition's
+        query-sharded layout ``[ndev, R, m_loc, hd]``."""
+        return self._zig_shard(q, self.part.m_loc * self.part.ndev,
+                               getattr(self.part, "zigzag", False))
+
+    def shard_keys(self, k):
+        """``k [R_kv, s, hd]`` -> key-sharded ``[ndev, R_kv, n_loc,
+        hd]``: contiguous bands for natural partitions, chunk-pair bands
+        for zigzag ones (the load-balanced schedule). Pads the sequence
+        to ``n_pad`` globally first (the short-shard misalignment guard
+        below)."""
+        return self._zig_shard(k, self.n_pad, self.kv_zigzag)
+
+    def unshard_output(self, out_sh, s: Optional[int] = None):
+        """Inverse of ``shard_queries``: ``[ndev, R, m_loc, hd]`` ->
+        ``[R, s, hd]`` in natural row order (slice-shaped, no gather)."""
+        return self._zig_unshard(
+            out_sh, s if s is not None else self.part.topo.m,
+            getattr(self.part, "zigzag", False))
+
+    def unshard_kv(self, kv_sh, s: Optional[int] = None):
+        """Inverse of ``shard_keys`` (use on dk/dv too — gradients come
+        back in the same key-sharded layout)."""
+        return self._zig_unshard(
+            kv_sh, s if s is not None else self.part.topo.n,
+            self.kv_zigzag)
+
+    def ring_compute_balance(self) -> dict:
+        """Compute-side ring efficiency from the ACTUAL per-(shard, band)
+        block counts the kernels will run: the scan is lockstep (ppermute
+        barrier per step), so step ``t`` costs the max over devices of
+        band ``(d - t) % ndev``'s blocks, and
+        ``efficiency = total / (ndev * wall)``. Contiguous causal
+        partitions sit at ~0.5 (early devices idle while the last does a
+        full band every step); zigzag rebalances to ~1."""
+        ndev = self.part.ndev
+        work = self.nblocks.sum(axis=2)            # [ndev, nbands]
+        wall = 0
+        for t in range(ndev):
+            wall += max(work[d, (d - t) % ndev] for d in range(ndev))
+        total = int(work.sum())
+        return {
+            "total_blocks": total,
+            "wall_blocks": int(wall),
+            "per_device_blocks": work.sum(axis=1).tolist(),
+            "efficiency": total / max(ndev * wall, 1),
+        }
 
 
 def _meta(spec):

@@ -93,6 +93,11 @@ def main():
                 variables, opt_state, jnp.asarray(x), jnp.asarray(y))
             if dynamic and (t + 1) % args.update_every == 0 \
                     and t != steps - 1:
+                # pred came from the PRE-update params, so this dense
+                # grad is one optimizer step stale relative to the drop
+                # criterion (which sees post-update values). RigL is
+                # robust to that; recompute pred post-update if exact
+                # same-step gradients matter.
                 gy = 2.0 / (b * m) * (np.asarray(pred) - y)
                 dg = dense_linear_grad(x, gy)
                 adam = opt_state[0]

@@ -126,6 +126,30 @@ def _values_panel(spec, values, stream_dt=None):
     return panel
 
 
+# id(dense) -> (dense, cast). Same identity-keyed FIFO discipline as the
+# panel cache: the eager flat path's dense operand is as cacheable by
+# buffer identity as the values were (a fixed activation/feature matrix
+# re-fed per call paid a fresh f32->bf16 cast every time).
+_cast_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+
+def _cast_cached(dense, stream_dt):
+    if stream_dt is None or dense.dtype == stream_dt:
+        return dense
+    if not _common.trace_clean() or not isinstance(dense, jax.Array):
+        return dense.astype(stream_dt)
+    key = (id(dense), jnp.dtype(stream_dt).name)
+    hit = _cast_cache.get(key)
+    if hit is not None and hit[0] is dense:
+        _cast_cache.move_to_end(key)
+        return hit[1]
+    cast = dense.astype(stream_dt)
+    _cast_cache[key] = (dense, cast)
+    while len(_cast_cache) > _PANEL_CACHE_SLOTS:
+        _cast_cache.popitem(last=False)
+    return cast
+
+
 def spmm(topo, values, dense):
     from .. import panel_api as P
 
@@ -133,8 +157,7 @@ def spmm(topo, values, dense):
     out_dt = jnp.promote_types(values.dtype, dense.dtype)
     stream = _stream_target(spec, values)
     panel = _values_panel(spec, values, stream)
-    if stream is not None:
-        dense = dense.astype(stream)
+    dense = _cast_cached(dense, stream)
     return P._spmm_impl(spec, panel, dense).astype(out_dt)
 
 
@@ -145,8 +168,7 @@ def spmm_bias_relu(topo, values, dense, bias, *, relu: bool = True):
     out_dt = jnp.promote_types(values.dtype, dense.dtype)
     stream = _stream_target(spec, values)
     panel = _values_panel(spec, values, stream)
-    if stream is not None:
-        dense = dense.astype(stream)
+    dense = _cast_cached(dense, stream)
     out = P._spmm_impl(spec, panel, dense, bias,
                        epilogue="bias_relu" if relu else "bias")
     return out.astype(out_dt)

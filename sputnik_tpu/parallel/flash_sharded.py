@@ -23,9 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops._common import device_arrays as _device_arrays
 from ..ops._common import interp as _interp
 from ..ops._common import round_up as _round_up
 from ..ops.pallas import flash_sparse as fs
+from ..topology import SparseTopology
 from .partition import RowPartition
 
 __all__ = ["ShardedFlashSpec", "flash_attention_sharded",
@@ -516,3 +518,291 @@ def flash_attention_kv_sharded(spec: ShardedFlashSpec, q_sh, k_sh, v_sh,
 
     out = _flash_sh_kv(spec, q_p, kbuf, vbuf, float(scale), int(group))
     return out[:, :, : q_sh.shape[2], :hd]
+
+
+# ---------------------------------------------------------------------------
+# Comm/compute-OVERLAPPED K/V-sharded attention.
+#
+# The path above assembles the halo'd K/V buffer FULLY before the kernel
+# runs — the halo ppermutes sit on the critical path. This variant splits
+# each device's topology shard into
+#
+#   * INTERIOR blocks: key columns inside the device's own n_loc-row K/V
+#     band — computable from the LOCAL K/V shard with no communication;
+#   * HALO blocks: key columns in other devices' bands — they need the
+#     halo rows, which travel via the same sliced ppermute shifts.
+#
+# The halo ppermutes are issued first and depend only on the K/V shards;
+# the interior flash kernel depends only on the local shard — the compiled
+# program has NO serializing dependency between the collective and the
+# interior kernel (tests/test_overlap.py asserts this on the jaxpr), so
+# XLA's async collectives can stream the halo while the MXU works. A
+# second, small kernel pass over only the halo blocks consumes the
+# arrived rows, and the two partial softmaxes merge by the online rule
+# (same math as ring_flash's cross-band merge). The backward splits the
+# same way: dq is the sum of the two passes; interior dk/dv land directly
+# on the local shard, halo dk/dv ride the reverse ppermutes (the
+# assembly's VJP) — the interior dkv kernel is independent of those
+# reverse transfers, so the backward overlaps too.
+# ---------------------------------------------------------------------------
+
+
+def _filter_columns(topo: SparseTopology, lo: int, hi: int, *,
+                    inside: bool) -> SparseTopology:
+    """Host CSR column filter. ``inside=True``: keep cols in ``[lo, hi)``
+    REBASED to ``[0, hi - lo)``; ``inside=False``: keep the complement in
+    global coordinates."""
+    ro, ci = topo.row_offsets, topo.column_indices
+    offs = np.zeros(topo.m + 1, np.int32)
+    cols = []
+    for r in range(topo.m):
+        cc = ci[ro[r]: ro[r + 1]]
+        keep = (cc >= lo) & (cc < hi)
+        cc = (cc[keep] - lo) if inside else cc[~keep]
+        cols.append(cc)
+        offs[r + 1] = offs[r] + len(cc)
+    cat = (np.concatenate(cols).astype(np.int32) if offs[-1]
+           else np.zeros(0, np.int32))
+    return SparseTopology(topo.m, (hi - lo) if inside else topo.n,
+                          offs, cat)
+
+
+def _stack_fmetas(fmetas, mb, kb):
+    """Stack per-device ``build_flash_bwd_meta`` dicts uniformly (the
+    ShardedFlashSpec padding conventions, factored for the overlap
+    split's second and third metadata sets)."""
+    ndev = len(fmetas)
+    max_bpr = max(max(m["max_bpr"] for m in fmetas), 1)
+    max_bpc = max(max(m["max_bpc"] for m in fmetas), 1)
+
+    def stack2(key, rows, maxlen, repeat):
+        outs = []
+        for m in fmetas:
+            a = m[key][0]
+            len_d = a.shape[0] // rows
+            pad = np.zeros((rows, maxlen), a.dtype)
+            pad[:, :len_d] = a.reshape(rows, len_d)
+            if repeat and 0 < len_d < maxlen:
+                pad[:, len_d:] = pad[:, len_d - 1: len_d]
+            outs.append(pad.reshape(-1))
+        return np.stack(outs)
+
+    npart = max(max(m["pmask"].shape[1] for m in fmetas), 1)
+    v0 = fmetas[0]
+    bm, bk = v0["bm"], v0["bk"]
+    pmask = np.zeros((ndev, npart, bm, bk), np.float32)
+    for d, m in enumerate(fmetas):
+        pmask[d, : m["pmask"].shape[1]] = m["pmask"][0]
+    return dict(
+        block_cols=stack2("block_cols", mb, max_bpr, True),
+        mask_slot=stack2("mask_slot", mb, max_bpr, True),
+        is_partial=stack2("is_partial", mb, max_bpr, False),
+        nblocks=np.stack([m["nblocks"][0] for m in fmetas]),
+        t_src_i=stack2("t_src_i", kb, max_bpc, True),
+        t_mask_slot=stack2("t_mask_slot", kb, max_bpc, True),
+        t_is_partial=stack2("t_is_partial", kb, max_bpc, False),
+        t_nblocks=np.stack([m["t_nblocks"][0] for m in fmetas]),
+        pmask=pmask, max_bpr=int(max_bpr), max_bpc=int(max_bpc))
+
+
+def _overlap_meta(spec: ShardedFlashSpec, n_loc: int):
+    """Interior/halo split metadata, built once per spec (host) and
+    cached. Interior block columns are REBASED to the local band (the
+    kernel reads the un-assembled K/V shard directly); halo columns stay
+    global (the kernel reads the halo-assembled buffer)."""
+    cache = getattr(spec, "_ov_meta", None)
+    if cache is not None:
+        return cache
+    ndev = spec.part.ndev
+    fmet_i, fmet_h = [], []
+    for d in range(ndev):
+        shard = spec.part.shards[d]
+        lo, hi = d * n_loc, (d + 1) * n_loc
+        t_i = _filter_columns(shard, lo, hi, inside=True)
+        t_h = _filter_columns(shard, lo, hi, inside=False)
+        fmet_i.append(fs.build_flash_bwd_meta(
+            [t_i.block(spec.bm, spec.bk)]))
+        fmet_h.append(fs.build_flash_bwd_meta(
+            [t_h.block(spec.bm, spec.bk)]))
+    kb_i = n_loc // spec.bk
+    meta = {
+        "i": _stack_fmetas(fmet_i, spec.mb, kb_i),
+        "h": _stack_fmetas(fmet_h, spec.mb, spec.kb),
+        "kb_i": kb_i,
+    }
+    spec._ov_meta = meta
+    return meta
+
+
+_OV_KEYS = ("block_cols", "nblocks", "mask_slot", "is_partial",
+            "t_src_i", "t_nblocks", "t_mask_slot", "t_is_partial", "pmask")
+
+
+def _ov_dev_meta(spec, n_loc):
+    meta = _overlap_meta(spec, n_loc)
+    return _device_arrays(
+        spec, "_ov_meta_dev",
+        lambda: {f"{p}_{k}": meta[p][k]
+                 for p in ("i", "h") for k in _OV_KEYS})
+
+
+def _assemble_halo(spec, x_sh, n_loc, plan):
+    """Differentiable HALO-ONLY assembly: like ``_assemble_kv`` but the
+    own band is NOT written (the interior kernel reads the local shard
+    directly) — the buffer holds only the received halo rows, so every
+    write it contains is a ppermute landing."""
+    x = spec.axis
+    ndev = spec.part.ndev
+    lo, hi = plan
+    steps_lo, steps_hi = -(-lo // n_loc), -(-hi // n_loc)
+
+    def local(xl):
+        x_loc = xl[0]                        # [R_kv, n_loc, hd_pad]
+        R_kv, _, hd_pad = x_loc.shape
+        me = jax.lax.axis_index(x)
+        z = jnp.int32(0)
+        buf = jnp.zeros((R_kv, spec.n_pad + n_loc, hd_pad), x_loc.dtype)
+        scratch = spec.n_pad
+        for k in range(1, steps_lo + 1):
+            take = min(n_loc, lo - (k - 1) * n_loc)
+            send = x_loc[:, n_loc - take:, :]
+            recv = jax.lax.ppermute(
+                send, x, [(j, (j + k) % ndev) for j in range(ndev)])
+            start = (me - k) * n_loc + (n_loc - take)
+            start = jnp.where(me >= k, start, scratch)
+            buf = jax.lax.dynamic_update_slice(buf, recv, (z, start, z))
+        for k in range(1, steps_hi + 1):
+            take = min(n_loc, hi - (k - 1) * n_loc)
+            send = x_loc[:, :take, :]
+            recv = jax.lax.ppermute(
+                send, x, [(j, (j - k) % ndev) for j in range(ndev)])
+            start = (me + k) * n_loc
+            start = jnp.where(me + k < ndev, start, scratch)
+            buf = jax.lax.dynamic_update_slice(buf, recv, (z, start, z))
+        return buf[:, : spec.n_pad][None]
+
+    return _smap(spec, local, in_specs=P(x), out_specs=P(x))(x_sh)
+
+
+def _ov_merge(out_i, m_i, l_i, out_h, m_h, l_h):
+    """Online-softmax merge of two partial flash results (each already
+    normalised by its own denominator). Same invariant as ring_flash's
+    cross-band merge: rescale factors carry the l's explicitly."""
+    m_i, l_i = m_i[..., :1], l_i[..., :1]
+    m_h, l_h = m_h[..., :1], l_h[..., :1]
+    M = jnp.maximum(m_i, m_h)
+    wi = jnp.exp(m_i - M) * l_i
+    wh = jnp.exp(m_h - M) * l_h
+    L = wi + wh
+    out = (out_i * wi + out_h * wh) / jnp.maximum(L, 1e-30)
+    return out, M, L
+
+
+def _ov_fwd(spec, n_loc, group, q_p, k_loc, kbuf, v_loc, vbuf):
+    R = q_p.shape[1]
+    x = spec.axis
+    meta = _ov_dev_meta(spec, n_loc)
+    st = _overlap_meta(spec, n_loc)
+    keys = list(meta.keys())
+    vals = [meta[k] for k in keys]
+
+    def local(*args):
+        md = dict(zip(keys, args[: len(keys)]))
+        q, kl, kb_, vl, vb = args[len(keys):]
+        q0 = q[0]
+        out_i, m_i, l_i = fs.flash_sparse_attention_fwd(
+            md["i_block_cols"][0][None], md["i_nblocks"][0][None],
+            md["i_mask_slot"][0][None], md["i_is_partial"][0][None],
+            md["i_pmask"][0][None], q0, kl[0], vl[0],
+            R=R, heads=R, mb=spec.mb, max_bpr=st["i"]["max_bpr"],
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        out_h, m_h, l_h = fs.flash_sparse_attention_fwd(
+            md["h_block_cols"][0][None], md["h_nblocks"][0][None],
+            md["h_mask_slot"][0][None], md["h_is_partial"][0][None],
+            md["h_pmask"][0][None], q0, kb_[0], vb[0],
+            R=R, heads=R, mb=spec.mb, max_bpr=st["h"]["max_bpr"],
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        out, M, L = _ov_merge(out_i, m_i, l_i, out_h, m_h, l_h)
+        return out[None], M[None], L[None]
+
+    fn = _smap(spec, local,
+               in_specs=tuple(P(x) for _ in keys) + (P(x),) * 5,
+               out_specs=(P(x), P(x), P(x)))
+    return fn(*vals, q_p, k_loc, kbuf, v_loc, vbuf)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 7))
+def _flash_kv_ov(spec, n_loc, q_p, k_loc, kbuf, v_loc, vbuf, group):
+    out, _, _ = _ov_fwd(spec, n_loc, group, q_p, k_loc, kbuf, v_loc, vbuf)
+    return out
+
+
+def _flash_kv_ov_fwd(spec, n_loc, q_p, k_loc, kbuf, v_loc, vbuf, group):
+    out, M, L = _ov_fwd(spec, n_loc, group, q_p, k_loc, kbuf, v_loc, vbuf)
+    return out, (q_p, k_loc, kbuf, v_loc, vbuf, out, M, L)
+
+
+def _flash_kv_ov_bwd(spec, n_loc, group, res, g):
+    q_p, k_loc, kbuf, v_loc, vbuf, out, M, L = res
+    R = q_p.shape[1]
+    x = spec.axis
+    meta = _ov_dev_meta(spec, n_loc)
+    st = _overlap_meta(spec, n_loc)
+    keys = list(meta.keys())
+    vals = [meta[k] for k in keys]
+
+    stats = jnp.concatenate(
+        [M, L, jnp.zeros(M.shape[:3] + (126,), jnp.float32)], axis=3)
+    d_rows = jnp.sum(g * out, axis=-1)
+    dcoef = jnp.broadcast_to(d_rows[..., None], d_rows.shape + (128,))
+
+    def local(*args):
+        md = dict(zip(keys, args[: len(keys)]))
+        q, kl, kb_, vl, vb, gg, stt, dc = args[len(keys):]
+        q0, g0, st0, dc0 = q[0], gg[0], stt[0], dc[0]
+        dq = fs.flash_sparse_bwd_dq(
+            md["i_block_cols"][0][None], md["i_nblocks"][0][None],
+            md["i_mask_slot"][0][None], md["i_is_partial"][0][None],
+            md["i_pmask"][0][None], q0, kl[0], vl[0], g0, st0, dc0,
+            R=R, heads=R, mb=spec.mb, max_bpr=st["i"]["max_bpr"],
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        dq = dq + fs.flash_sparse_bwd_dq(
+            md["h_block_cols"][0][None], md["h_nblocks"][0][None],
+            md["h_mask_slot"][0][None], md["h_is_partial"][0][None],
+            md["h_pmask"][0][None], q0, kb_[0], vb[0], g0, st0, dc0,
+            R=R, heads=R, mb=spec.mb, max_bpr=st["h"]["max_bpr"],
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        dk_l, dv_l = fs.flash_sparse_bwd_dkv(
+            md["i_t_src_i"][0][None], md["i_t_nblocks"][0][None],
+            md["i_t_mask_slot"][0][None], md["i_t_is_partial"][0][None],
+            md["i_pmask"][0][None], q0, kl[0], vl[0], g0, st0, dc0,
+            R=R, heads=R, kb=st["kb_i"], max_bpc=st["i"]["max_bpc"],
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        dk_b, dv_b = fs.flash_sparse_bwd_dkv(
+            md["h_t_src_i"][0][None], md["h_t_nblocks"][0][None],
+            md["h_t_mask_slot"][0][None], md["h_t_is_partial"][0][None],
+            md["h_pmask"][0][None], q0, kb_[0], vb[0], g0, st0, dc0,
+            R=R, heads=R, kb=spec.kb, max_bpc=st["h"]["max_bpc"],
+            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        if group > 1:
+            gsum = lambda a: a.reshape(                     # noqa: E731
+                R // group, group, *a.shape[1:]).sum(axis=1)
+            dk_l, dv_l = gsum(dk_l), gsum(dv_l)
+            dk_b, dv_b = gsum(dk_b), gsum(dv_b)
+        return dq[None], dk_l[None], dk_b[None], dv_l[None], dv_b[None]
+
+    sh = tuple(P(x) for _ in keys)
+    dq, dk_l, dk_b, dv_l, dv_b = _smap(
+        spec, local,
+        in_specs=sh + (P(x),) * 8,
+        out_specs=(P(x),) * 5,
+    )(*vals, q_p, k_loc, kbuf, v_loc, vbuf, g, stats, dcoef)
+    # cotangents w.r.t. (q_p pre-scaled, local K/V shards, halo buffers);
+    # the halo buffers' cotangents route home through _assemble_halo's
+    # VJP outside this custom_vjp (reverse ppermutes, same volume)
+    return (dq.astype(q_p.dtype), dk_l.astype(k_loc.dtype),
+            dk_b.astype(kbuf.dtype), dv_l.astype(v_loc.dtype),
+            dv_b.astype(vbuf.dtype))
+
+
+_flash_kv_ov.defvjp(_flash_kv_ov_fwd, _flash_kv_ov_bwd)

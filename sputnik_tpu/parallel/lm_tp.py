@@ -147,6 +147,17 @@ class TPLMServer:
                                 caches=caches, prompt_lengths=lengths,
                                 **sampling)
 
-        fn = jax.shard_map(body, mesh=tpd.mesh, in_specs=tuple(in_specs),
-                           out_specs=out_specs, check_vma=False)
+        # memoize the jitted shard_map: an eager generate loop otherwise
+        # re-traces and re-compiles the whole sharded token loop per call
+        ck = (n_new, tuple(sorted(sampling.items())), self.paged,
+              prompt_lengths is None)
+        jits = getattr(self, "_gen_jits", None)
+        if jits is None:
+            jits = self._gen_jits = {}
+        fn = jits.get(ck)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                body, mesh=tpd.mesh, in_specs=tuple(in_specs),
+                out_specs=out_specs, check_vma=False))
+            jits[ck] = fn
         return fn(sparams["core_tp"], sparams["rest"], tokens, key, *extra)

@@ -61,7 +61,7 @@ def _slice_columns(topo: SparseTopology, windows) -> SparseTopology:
         cc = ci[ro[r]: ro[r + 1]]
         parts = [cc[(cc >= lo) & (cc < hi)] - lo + bases[w]
                  for w, (lo, hi) in enumerate(windows)]
-        cc = np.concatenate(parts) if parts else cc[:0]
+        cc = np.concatenate(parts)
         cols.append(cc)
         offs[r + 1] = offs[r] + len(cc)
     cat = (np.concatenate(cols).astype(np.int32) if offs[-1]
@@ -302,6 +302,14 @@ def _ring_fwd_local(spec, group, meta_loc, q, k0, v0):
         k_cur, v_cur, acc_un, M, L = carry
         band = jax.lax.rem(d - t + ndev, ndev)
         mt = _band_take(meta_loc, band)
+        # Issue band t+1's rotation BEFORE the kernel consumes band t:
+        # the ppermutes read only the carry (never the kernel output), so
+        # the compiled program has no serializing dependency between the
+        # collective and the flash kernel — XLA's async collectives can
+        # put the transfer in flight while the MXU works
+        # (tests/test_overlap.py asserts the dataflow independence).
+        k_nxt = jax.lax.ppermute(k_cur, x, fwd)
+        v_nxt = jax.lax.ppermute(v_cur, x, fwd)
         out_t, m_t, l_t = fs.flash_sparse_attention_fwd(
             mt["block_cols"], mt["nblocks"], mt["mask_slot"],
             mt["is_partial_"], mt["pmask"],
@@ -321,8 +329,6 @@ def _ring_fwd_local(spec, group, meta_loc, q, k0, v0):
         acc_un = acc_un * corr + out_t * new_term
         L = L * corr + new_term
         M = M_new
-        k_nxt = jax.lax.ppermute(k_cur, x, fwd)
-        v_nxt = jax.lax.ppermute(v_cur, x, fwd)
         return (k_nxt, v_nxt, acc_un, M, L), None
 
     init = (k0[0], v0[0],
@@ -395,6 +401,13 @@ def _ring_b(spec, group, res, g):
             k_cur, v_cur, dk_cur, dv_cur, dq_acc = carry
             band = jax.lax.rem(d - t + ndev, ndev)
             mt = _band_take(meta_loc, band)
+            # K/V rotation depends only on the carry — in flight while
+            # the backward kernels run. The dk/dv rotation below cannot
+            # be hoisted: this band's gradient contribution must board
+            # before the accumulator leaves (see comm_model overlap
+            # factors: ring bwd is half-overlappable).
+            k_nxt = jax.lax.ppermute(k_cur, x, fwd_perm)
+            v_nxt = jax.lax.ppermute(v_cur, x, fwd_perm)
             dq_t = fs.flash_sparse_bwd_dq(
                 mt["block_cols"], mt["nblocks"], mt["mask_slot"],
                 mt["is_partial_"], mt["pmask"],
@@ -416,10 +429,8 @@ def _ring_b(spec, group, res, g):
                                     *dv_t.shape[1:]).sum(axis=1)
             dk_cur = dk_cur + dk_t
             dv_cur = dv_cur + dv_t
-            # rotate the band AND its accumulated gradient together —
-            # after the full cycle each band (and its dk/dv) is home
-            k_nxt = jax.lax.ppermute(k_cur, x, fwd_perm)
-            v_nxt = jax.lax.ppermute(v_cur, x, fwd_perm)
+            # rotate the accumulated gradient with its band — after the
+            # full cycle each band's dk/dv is home
             dk_nxt = jax.lax.ppermute(dk_cur, x, fwd_perm)
             dv_nxt = jax.lax.ppermute(dv_cur, x, fwd_perm)
             return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc + dq_t), None

@@ -262,15 +262,28 @@ class TPDecoder:
                  **kwargs):
         """Run one local-decoder step method under the tp shard_map: the
         sharded runtime IS the single-chip runtime plus the per-layer
-        psum reduce_fn (the only wrapper all four steps share)."""
+        psum reduce_fn (the only wrapper all four steps share).
+
+        The jitted shard_map is memoized per (method, kwargs, cache
+        structure): an eager serving loop previously re-traced AND
+        re-compiled the whole sharded program on every call — the
+        decode path's host overhead was the compile, not the step."""
         red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
+        ck = (getattr(method, "__func__", method), y_batch_dim,
+              tuple(sorted(kwargs.items())), jax.tree.structure(caches))
+        jits = getattr(self, "_tp_jits", None)
+        if jits is None:
+            jits = self._tp_jits = {}
+        fn = jits.get(ck)
+        if fn is None:
+            def f(sp, x_, cs):
+                return method(self._local_params(sp), x_, cs,
+                              reduce_fn=red, **kwargs)
 
-        def f(sp, x_, cs):
-            return method(self._local_params(sp), x_, cs,
-                          reduce_fn=red, **kwargs)
-
-        return self._shard(f, sparams, caches, 1,
-                           y_batch_dim=y_batch_dim)(sparams, x, caches)
+            fn = jax.jit(self._shard(f, sparams, caches, 1,
+                                     y_batch_dim=y_batch_dim))
+            jits[ck] = fn
+        return fn(sparams, x, caches)
 
     def prefill(self, sparams, x, caches):
         """Prompt pass on every shard's local heads; fills local caches.
@@ -288,13 +301,19 @@ class TPDecoder:
             return self._tp_call(self._ld.decode_step_ragged, sparams,
                                  x_tok, caches)
         red = lambda t: jax.lax.psum(t, self.axis)  # noqa: E731
+        ck = ("ragged_active", jax.tree.structure(caches))
+        jits = getattr(self, "_tp_jits", None)
+        if jits is None:
+            jits = self._tp_jits = {}
+        fn = jits.get(ck)
+        if fn is None:
+            def f(sp, x_, act_, cs):
+                return self._ld.decode_step_ragged(
+                    self._local_params(sp), x_, cs, act_, reduce_fn=red)
 
-        def f(sp, x_, act_, cs):
-            return self._ld.decode_step_ragged(
-                self._local_params(sp), x_, cs, act_, reduce_fn=red)
-
-        return self._shard(f, sparams, caches, 2)(
-            sparams, x_tok, jnp.asarray(active), caches)
+            fn = jax.jit(self._shard(f, sparams, caches, 2))
+            jits[ck] = fn
+        return fn(sparams, x_tok, jnp.asarray(active), caches)
 
     def decode_multi(self, sparams, x_toks, caches):
         """Speculative verification step (q draft tokens at once),

@@ -108,6 +108,16 @@ def remap_values(old: SparseTopology, new: SparseTopology, arr,
                          f"{(new.m, new.n)}")
     arr = np.asarray(arr)
     ok, nk = _keys(old), _keys(new)
+    if len(ok) > 1 and not np.all(np.diff(ok) > 0):
+        # searchsorted needs ascending keys; CSR with per-row sorted
+        # columns guarantees it, but SparseTopology never validates
+        # column order — a user-built topology with unsorted columns
+        # would silently mismap params/moments instead of erroring.
+        raise ValueError("old topology has unsorted or duplicate columns "
+                         "within a row; sort columns per row first")
+    if len(nk) > 1 and not np.all(np.diff(nk) > 0):
+        raise ValueError("new topology has unsorted or duplicate columns "
+                         "within a row; sort columns per row first")
     out = np.full(new.nnz_pad, fill, dtype=arr.dtype)
     pos = np.searchsorted(ok, nk)
     pos_c = np.minimum(pos, max(len(ok) - 1, 0))
@@ -136,6 +146,13 @@ def magnitude_prune(topo: SparseTopology, values, *,
     if density is not None:
         target = int(round(density * topo.m * topo.n))
         drop = nnz - target
+        if drop < 0:
+            # growth is rigl_update's job; silently returning unchanged
+            # would hide a mis-ordered schedule (s_init/s_final swapped)
+            raise ValueError(
+                f"requested density {density} exceeds current "
+                f"{nnz / (topo.m * topo.n):.4f}; magnitude_prune only "
+                "drops connections (use rigl_update to grow)")
     else:
         drop = int(n_drop)
     drop = max(0, min(drop, nnz - 1))

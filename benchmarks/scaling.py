@@ -253,27 +253,41 @@ def tpu_mode():
         attn_halo_mha = 2.0 * 2.0 * (blo + bhi) * ATTN_R * hd_pad * 4
         attn_halo_gqa = 2.0 * 2.0 * (blo + bhi) * 1 * hd_pad * 4
 
+        # overlap fractions: comm_model.OVERLAP_FRACTIONS — halo paths
+        # prefetch while the interior pass computes (dataflow asserted in
+        # tests/test_overlap.py); psum paths consume kernel outputs and
+        # cannot prefetch. Every projection also reports the zero-overlap
+        # floor as efficiency_serial.
+        OF = cm.OVERLAP_FRACTIONS
+        halo_f = OF["spmm_halo_fwd"]
         proj[ndev] = {
             "spmm_fwd_random_replicated": cm.project_scaling(
                 t_un, comm["fwd"], ndev),
             "spmm_fwdbwd_random_replicated": cm.project_scaling(
-                3.0 * t_un, comm["fwd"] + comm["bwd"], ndev),
+                3.0 * t_un, comm["fwd"] + comm["bwd"], ndev,
+                overlap_fraction=OF["psum_bwd"]),
             "spmm_fwd_banded_halo": cm.project_scaling(
-                t_band, bcomm["fwd"], ndev),
+                t_band, bcomm["fwd"], ndev, overlap_fraction=halo_f),
             "spmm_fwdbwd_banded_halo": cm.project_scaling(
-                3.0 * t_band, bcomm["fwd"] + bcomm["bwd"], ndev),
+                3.0 * t_band, bcomm["fwd"] + bcomm["bwd"], ndev,
+                overlap_fraction=halo_f),
             "spmm_fwd_banded_s32k": cm.project_scaling(
-                t_band32, bcomm32["fwd"], ndev),
+                t_band32, bcomm32["fwd"], ndev, overlap_fraction=halo_f),
             "spmm_fwdbwd_banded_s32k": cm.project_scaling(
-                3.0 * t_band32, bcomm32["fwd"] + bcomm32["bwd"], ndev),
+                3.0 * t_band32, bcomm32["fwd"] + bcomm32["bwd"], ndev,
+                overlap_fraction=halo_f),
             "attention_grad_s32k_mha": cm.project_scaling(
-                T1_ATTN_GRAD_MS, attn_mha, ndev),
+                T1_ATTN_GRAD_MS, attn_mha, ndev,
+                overlap_fraction=OF["psum_bwd"]),
             "attention_grad_s32k_gqa4": cm.project_scaling(
-                T1_ATTN_GRAD_MS, attn_gqa, ndev),
+                T1_ATTN_GRAD_MS, attn_gqa, ndev,
+                overlap_fraction=OF["psum_bwd"]),
             "attention_grad_s32k_mha_kvsharded": cm.project_scaling(
-                T1_ATTN_GRAD_MS, attn_halo_mha, ndev),
+                T1_ATTN_GRAD_MS, attn_halo_mha, ndev,
+                overlap_fraction=OF["attention_halo_fwd"]),
             "attention_grad_s32k_gqa4_kvsharded": cm.project_scaling(
-                T1_ATTN_GRAD_MS, attn_halo_gqa, ndev),
+                T1_ATTN_GRAD_MS, attn_halo_gqa, ndev,
+                overlap_fraction=OF["attention_halo_fwd"]),
             "banded_halo_rows": bcomm["halo_rows"],
         }
     print(json.dumps({

@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_spmm_panel", "bsr_spmm"]
+__all__ = ["bsr_spmm_panel", "bsr_spmm_panel_sel", "bsr_spmm"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -140,6 +140,96 @@ def bsr_spmm_panel(
         ),
         interpret=interpret,
     )(block_cols, nblocks, *operands)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bm", "bk", "bn", "precision", "interpret", "mb", "max_bpr",
+    ),
+)
+def bsr_spmm_panel_sel(
+    block_cols,            # i32[mb * max_bpr]  (sub-walk, scalar prefetch)
+    nblocks,               # i32[mb]
+    slot_sel,              # i32[mb * max_bpr]  panel slot of each sub-block
+    values_panel,          # f32[mb, max_bpr_full, bm, bk]
+    dense,                 # f32[rows, n_pad]
+    *,
+    mb: int,
+    max_bpr: int,          # the SUB-walk's max blocks/row (grid extent)
+    bm: int,
+    bk: int,
+    bn: int,
+    precision: str = "default",
+    interpret: bool = False,
+):
+    """Panel SpMM over a SUBSET of each row's blocks, selected by slot.
+
+    Same MXU loop as :func:`bsr_spmm_panel`, but the panel slot visited at
+    grid step ``s`` is ``slot_sel[i * max_bpr + s]`` instead of ``s`` —
+    the values panel keeps its canonical layout while the walk is
+    reordered/filtered. This is what lets the halo-overlap split
+    (``parallel/sharded_ops.sharded_spmm_halo``) run the interior blocks
+    against the LOCAL dense shard while the halo rows are still in
+    flight, without reshuffling parameters. Returns ``f32[mb*bm, n_pad]``
+    holding ONLY the selected blocks' contributions (callers sum the
+    interior and halo passes — SpMM is linear in the block set)."""
+    n_pad = dense.shape[1]
+    nb = n_pad // bn
+    prec = jax.lax.Precision[precision.upper()]
+
+    def kernel(cols_ref, nblk_ref, sel_ref, vals_ref, dense_ref,
+               out_ref, acc_ref):
+        i = pl.program_id(0)
+        s = pl.program_id(2)
+
+        @pl.when(s == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(s < nblk_ref[i])
+        def _():
+            acc_ref[:] += jax.lax.dot(
+                vals_ref[0, 0],
+                dense_ref[:],
+                precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
+
+    grid = (mb, nb, max_bpr)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda i, j, s, cols, nblk, sel: (
+                        i, sel[i * max_bpr + s], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (bk, bn),
+                    lambda i, j, s, cols, nblk, sel: (
+                        cols[i * max_bpr + s], j),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, s, cols, nblk, sel: (i, j)
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(block_cols, nblocks, slot_sel, values_panel, dense)
 
 
 def _panel_consts(topo, bm, bk):

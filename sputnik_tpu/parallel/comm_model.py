@@ -35,7 +35,8 @@ import numpy as np
 
 __all__ = ["Chip", "V5E", "psum_bytes", "all_gather_bytes",
            "spmm_comm_bytes", "spmm_halo_comm_bytes",
-           "attention_comm_bytes", "project_scaling"]
+           "attention_comm_bytes", "project_scaling",
+           "OVERLAP_FRACTIONS"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,23 +176,64 @@ def attention_ring_comm_bytes(n_loc: int, hd: int, ndev: int, *,
 
 
 def project_scaling(t1_ms: float, comm_bytes_per_dev: float,
-                    ndev: int, chip: Chip = V5E) -> dict:
+                    ndev: int, chip: Chip = V5E, *,
+                    overlap_fraction: float = 0.0) -> dict:
     """Closed-form scaling projection for one op invocation.
 
     ``t1_ms``: measured single-chip kernel time for the full problem.
     Per-device compute shrinks linearly (RowPartition balances nnz);
-    comm is serialized after compute (no overlap — conservative) at one
-    ICI link's one-way rate. Returns per-device time, efficiency
-    ``t1 / (ndev * t(ndev))`` (== nnz/s scaling efficiency, since nnz/s
-    = const / t), and the comm fraction.
+    comm runs at one ICI link's one-way rate.
+
+    ``overlap_fraction`` (``f``): the portion of the comm volume whose
+    transfer is dataflow-independent of the kernels and can hide under
+    compute (``tests/test_overlap.py`` proves the independence per path;
+    see ``OVERLAP_FRACTIONS`` for the structural values). The overlapped
+    part costs ``max(t_comp, f * t_comm)``; the remaining
+    ``(1 - f) * t_comm`` is exposed. ``f = 0`` reproduces the old
+    fully-serialized model, always reported as ``*_serial`` (the floor).
+
+    Returns per-device time + efficiency ``t1 / (ndev * t)`` (== nnz/s
+    scaling efficiency) for both the overlapped and serialized models.
     """
+    if not 0.0 <= overlap_fraction <= 1.0:
+        raise ValueError(f"overlap_fraction {overlap_fraction} not in "
+                         "[0, 1]")
     t_comp = t1_ms / ndev
     t_comm = comm_bytes_per_dev / chip.ici_oneway * 1e3
-    t = t_comp + t_comm
-    return {"ndev": ndev, "t_ms": t, "t_compute_ms": t_comp,
-            "t_comm_ms": t_comm,
+    t_serial = t_comp + t_comm
+    t = (max(t_comp, overlap_fraction * t_comm)
+         + (1.0 - overlap_fraction) * t_comm)
+    return {"ndev": ndev, "t_ms": t, "t_ms_serial": t_serial,
+            "t_compute_ms": t_comp, "t_comm_ms": t_comm,
+            "overlap_fraction": overlap_fraction,
             "efficiency": t1_ms / (ndev * t) if ndev else 1.0,
-            "comm_fraction": t_comm / t if t else 0.0}
+            "efficiency_serial":
+                t1_ms / (ndev * t_serial) if ndev else 1.0,
+            "comm_fraction": t_comm / t_serial if t_serial else 0.0,
+            "comm_exposed_ms": t - t_comp}
+
+
+# Structural overlap fractions per sharded path: the share of each pass's
+# ICI volume whose transfer has NO dataflow dependency on the kernels
+# (asserted on the traced jaxpr in tests/test_overlap.py). The exposed
+# remainder is inherent to the algebra, not the implementation:
+#   * halo paths (spmm / flash kv-sharded): every halo row is prefetched
+#     while the interior pass computes -> fwd fully overlappable. The
+#     backward's reverse ppermutes carry kernel outputs (halo cotangents)
+#     but run concurrently with the INTERIOR dkv/dq kernels -> modeled
+#     fully overlappable as long as interior compute dominates (max()
+#     keeps this honest when it does not).
+#   * ring fwd: rotations read only the carry -> fully overlappable.
+#   * ring bwd: k/v rotations free, dk/dv accumulators must board after
+#     this band's kernels -> half the volume exposed.
+#   * replicated-K/V psum paths: the psum consumes kernel outputs ->
+#     nothing to prefetch (0.0).
+OVERLAP_FRACTIONS = {
+    "spmm_halo_fwd": 1.0, "spmm_halo_bwd": 1.0,
+    "attention_halo_fwd": 1.0, "attention_halo_bwd": 1.0,
+    "ring_fwd": 1.0, "ring_bwd": 0.5,
+    "psum_bwd": 0.0,
+}
 
 
 def nnz_balance(part) -> dict:

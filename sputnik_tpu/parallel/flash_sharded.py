@@ -466,7 +466,8 @@ _flash_sh_kv.defvjp(_flash_sh_kv_fwd, _flash_sh_kv_bwd)
 
 
 def flash_attention_kv_sharded(spec: ShardedFlashSpec, q_sh, k_sh, v_sh,
-                               scale=None, group: int = 1):
+                               scale=None, group: int = 1,
+                               overlap: bool = True):
     """Sequence-parallel fused sparse attention with K/V SHARDED over the
     same axis as the queries — the zero-psum variant.
 
@@ -481,7 +482,15 @@ def flash_attention_kv_sharded(spec: ShardedFlashSpec, q_sh, k_sh, v_sh,
 
     Use this for banded/windowed long-context topologies with
     ``RowPartition(balance=False)`` (contiguous query bands — a balanced
-    permutation scatters rows and forces the all_gather fallback)."""
+    permutation scatters rows and forces the all_gather fallback).
+
+    ``overlap`` (default on, engaged when the halo plan is ragged and the
+    band is whole blocks): split each shard's topology into interior
+    blocks (computed from the LOCAL K/V, no comm) and halo blocks (a
+    second small kernel pass over only the exchanged rows), merged by the
+    online-softmax rule — the halo ppermutes and the interior kernel have
+    no serializing dependency, so the transfer streams while the MXU
+    works (see the module-level OVERLAP section)."""
     ndev, R = q_sh.shape[0], q_sh.shape[1]
     R_kv = k_sh.shape[1]
     if group < 1 or R % group:
@@ -510,12 +519,19 @@ def flash_attention_kv_sharded(spec: ShardedFlashSpec, q_sh, k_sh, v_sh,
     vp = jnp.zeros((ndev, R_kv, n_loc, hd_pad), v_sh.dtype)
     vp = vp.at[:, :, : v_sh.shape[2], :hd].set(v_sh)
     plan = spec.halo_plan(n_loc)
-    kbuf = _assemble_kv(spec, kp, n_loc, plan)
-    vbuf = _assemble_kv(spec, vp, n_loc, plan)
 
     q_p = jnp.zeros((ndev, R, spec.m_pad_loc, hd_pad), q_sh.dtype)
     q_p = q_p.at[:, :, : q_sh.shape[2], :hd].set(q_sh * scale)
 
+    if overlap and plan is not None and n_loc % spec.bk == 0:
+        kbuf = _assemble_halo(spec, kp, n_loc, plan)
+        vbuf = _assemble_halo(spec, vp, n_loc, plan)
+        out = _flash_kv_ov(spec, n_loc, q_p, kp, kbuf, vp, vbuf,
+                           int(group))
+        return out[:, :, : q_sh.shape[2], :hd]
+
+    kbuf = _assemble_kv(spec, kp, n_loc, plan)
+    vbuf = _assemble_kv(spec, vp, n_loc, plan)
     out = _flash_sh_kv(spec, q_p, kbuf, vbuf, float(scale), int(group))
     return out[:, :, : q_sh.shape[2], :hd]
 

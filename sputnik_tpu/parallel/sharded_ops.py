@@ -449,6 +449,103 @@ def _halo_plan(spec, n_loc):
     return lo, hi
 
 
+def _halo_assemble_only(spec, d_loc, n_loc, q_pad, lo, hi):
+    """Halo-ONLY assembly: :func:`_halo_assemble` without the own-band
+    write. Every row this buffer carries arrived via ppermute; the
+    interior kernel reads the local shard directly, so the transfers and
+    the interior MXU pass have no serializing dependency (the
+    comm/compute-overlap split — see sharded_spmm_halo)."""
+    x = spec.axis
+    ndev = spec.part.ndev
+    me = jax.lax.axis_index(x)
+    buf = jnp.zeros((spec.n_pad + n_loc, q_pad), d_loc.dtype)
+    steps_lo, steps_hi = _halo_steps(lo, hi, n_loc)
+    scratch = spec.n_pad
+    for k in range(1, steps_lo + 1):
+        take = min(n_loc, lo - (k - 1) * n_loc)
+        send = d_loc[n_loc - take:, :]
+        recv = jax.lax.ppermute(
+            send, x, [(j, (j + k) % ndev) for j in range(ndev)])
+        start = (me - k) * n_loc + (n_loc - take)
+        start = jnp.where(me >= k, start, scratch)
+        buf = jax.lax.dynamic_update_slice(buf, recv,
+                                           (start, jnp.int32(0)))
+    for k in range(1, steps_hi + 1):
+        take = min(n_loc, hi - (k - 1) * n_loc)
+        send = d_loc[:take, :]
+        recv = jax.lax.ppermute(
+            send, x, [(j, (j - k) % ndev) for j in range(ndev)])
+        start = (me + k) * n_loc
+        start = jnp.where(me + k < ndev, start, scratch)
+        buf = jax.lax.dynamic_update_slice(buf, recv,
+                                           (start, jnp.int32(0)))
+    return buf
+
+
+def _ov_split_meta(spec, n_loc):
+    """Interior/halo split of the stacked SpMM walk (host, cached per
+    ``n_loc``). Interior block columns are REBASED to the local dense
+    shard; halo columns stay global. ``slot_sel`` carries each sub-walk
+    entry's canonical panel slot so values never move."""
+    cache = getattr(spec, "_ov_spmm_np", None)
+    if cache is None:
+        cache = {}
+        spec._ov_spmm_np = cache
+    if n_loc in cache:
+        return cache[n_loc]
+    ndev = spec.part.ndev
+    lob = n_loc // spec.bk
+    rows_i, rows_h = [], []
+    for d in range(ndev):
+        cols = spec.block_cols[d].reshape(spec.mb, spec.max_bpr)
+        nblk = spec.nblocks[d]
+        per_i, per_h = [], []
+        for i in range(spec.mb):
+            ci, ch = [], []
+            for s in range(int(nblk[i])):
+                c = int(cols[i, s])
+                if d * lob <= c < (d + 1) * lob:
+                    ci.append((c - d * lob, s))
+                else:
+                    ch.append((c, s))
+            per_i.append(ci)
+            per_h.append(ch)
+        rows_i.append(per_i)
+        rows_h.append(per_h)
+
+    def stack(rows):
+        maxb = max(max((len(r) for r in per), default=0)
+                   for per in rows)
+        maxb = max(maxb, 1)
+        cols = np.zeros((ndev, spec.mb, maxb), np.int32)
+        sel = np.zeros((ndev, spec.mb, maxb), np.int32)
+        nbl = np.zeros((ndev, spec.mb), np.int32)
+        for d, per in enumerate(rows):
+            for i, r in enumerate(per):
+                nbl[d, i] = len(r)
+                for s, (c, sl) in enumerate(r):
+                    cols[d, i, s] = c
+                    sel[d, i, s] = sl
+                if 0 < len(r) < maxb:      # repeat-pad: DMA elided
+                    cols[d, i, len(r):] = cols[d, i, len(r) - 1]
+                    sel[d, i, len(r):] = sel[d, i, len(r) - 1]
+        return {"cols": cols.reshape(ndev, -1),
+                "sel": sel.reshape(ndev, -1), "nblk": nbl,
+                "maxb": int(maxb)}
+
+    out = {"i": stack(rows_i), "h": stack(rows_h)}
+    cache[n_loc] = out
+    return out
+
+
+def _ov_spmm_dev_meta(spec, n_loc):
+    meta = _ov_split_meta(spec, n_loc)
+    return _device_arrays(
+        spec, f"_ov_spmm_dev_{n_loc}",
+        lambda: {f"{p}_{k}": meta[p][k] for p in ("i", "h")
+                 for k in ("cols", "sel", "nblk")})
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def sharded_spmm_halo(spec, panels, dense_sh):
     """Row-partitioned sparse x ROW-SHARDED dense RHS.
@@ -474,6 +571,42 @@ def _raw_spmm_halo(spec, panels, dense_sh):
     nblk = _spec_meta(spec)["nblocks"]
     x = spec.axis
     plan = _halo_plan(spec, n_loc)
+
+    if plan is not None and n_loc % spec.bk == 0:
+        # comm/compute-overlap split: the halo ppermutes feed ONLY the
+        # halo pass; the interior pass reads the local shard — no
+        # serializing dependency between the transfer and the interior
+        # MXU work (tests/test_overlap.py asserts this on the jaxpr).
+        meta = _ov_spmm_dev_meta(spec, n_loc)
+        st = _ov_split_meta(spec, n_loc)
+
+        def local_ov(ci, si, ni, ch, sh_, nh, p, d_loc):
+            d2 = d_loc[0]
+            if q_pad != q:
+                d2 = jnp.concatenate(
+                    [d2, jnp.zeros((n_loc, q_pad - q), d2.dtype)],
+                    axis=-1)
+            buf = _halo_assemble_only(spec, d2, n_loc, q_pad, *plan)
+            out_i = _spmm_mod.bsr_spmm_panel_sel(
+                ci[0], ni[0], si[0], p[0], d2,
+                mb=spec.mb, max_bpr=st["i"]["maxb"],
+                bm=spec.bm, bk=spec.bk, bn=_tile_n(q_pad),
+                interpret=_interp())
+            out_h = _spmm_mod.bsr_spmm_panel_sel(
+                ch[0], nh[0], sh_[0], p[0], buf[: spec.n_pad],
+                mb=spec.mb, max_bpr=st["h"]["maxb"],
+                bm=spec.bm, bk=spec.bk, bn=_tile_n(q_pad),
+                interpret=_interp())
+            return (out_i + out_h)[None]
+
+        fn = _smap(
+            spec, local_ov,
+            in_specs=(P(x),) * 8,
+            out_specs=P(x),
+        )
+        return fn(meta["i_cols"], meta["i_sel"], meta["i_nblk"],
+                  meta["h_cols"], meta["h_sel"], meta["h_nblk"],
+                  panels, dense_sh)
 
     def local(c, nb, p, d_loc):
         d2 = d_loc[0]

@@ -29,6 +29,9 @@ Env knobs:
   BENCH_API      (default panel)  panel | flat (reference-parity call path;
                  runs EAGERLY like the reference's torch ops — the steady
                  state exercises the cross-call values->panel cache)
+  BENCH_AUTOTUNE (unset)          1 = pick (bm, bk) from the cached
+                 on-chip tile sweep (utils/autotune.py) instead of the
+                 hand-measured default
 """
 
 import json
@@ -79,6 +82,14 @@ def main():
         # accumulate in VMEM) — numerically identical to the f32 path, which
         # the TPU MXU truncates to bf16 passes at default precision anyway.
         bm, bk = (2048, 1024) if size >= 2048 else (128, 128)
+        if os.environ.get("BENCH_AUTOTUNE"):
+            # measured-best tiles from the cached on-chip sweep
+            # (utils/autotune.py) — guards the hand-picked default
+            # against tile rot as kernels evolve
+            from sputnik_tpu.utils import autotune
+
+            dt = jnp.bfloat16 if size >= 2048 else jnp.float32
+            bm, bk = autotune.best_spmm_tiles(topo, dtype=dt, q=size)
         spec = P.PanelSpec(topo, bm=bm, bk=bk,
                            bn=1024 if size >= 2048 else None)
         values = jnp.asarray(P.values_to_panel_np(topo, mat.values, bm, bk))

@@ -290,6 +290,50 @@ def tpu_mode():
                 overlap_fraction=OF["attention_halo_fwd"]),
             "banded_halo_rows": bcomm["halo_rows"],
         }
+    # ---- N >= 2 HOSTS (DCN tier): 2 hosts x 4 chips. Two layouts priced
+    # for the banded long-context workloads; the hierarchical model keeps
+    # the sp halos on ICI and crosses DCN with either (a) the ONE
+    # host-boundary halo (row partition spanning hosts) or (b) the value-
+    # gradient all-reduce (dp across hosts). ICI volumes per chip reuse
+    # the ndev=4 in-host partition.
+    part4 = RowPartition(btopo, 4, bm=8, balance=False)
+    spec4 = ShardedPanelSpec(part4, bm=128, bk=128)
+    bcomm4 = cm.spmm_halo_comm_bytes(spec4, size // 4, size, itemsize=2)
+    bcomm4_32 = cm.spmm_halo_comm_bytes(spec4, size // 4, 4096,
+                                        itemsize=2)
+    halo4 = bcomm4["halo_rows"]
+    OF = cm.OVERLAP_FRACTIONS
+    two_host = {}
+    for name, t1, ici_fwd_bwd, qcols in (
+            ("spmm_fwdbwd_banded_halo",
+             3.0 * t_band, bcomm4["fwd"] + bcomm4["bwd"], size),
+            ("spmm_fwdbwd_banded_s32k",
+             3.0 * t_band32, bcomm4_32["fwd"] + bcomm4_32["bwd"], 4096)):
+        dcn_rowpart = 2.0 * cm.hier_halo_dcn_bytes(halo4, qcols, 2,
+                                                   itemsize=2)
+        dcn_dp = cm.hier_dp_grad_dcn_bytes(int(btopo.nnz), 2)
+        two_host[name] = {
+            "rowpart_over_dcn": cm.project_scaling_hier(
+                t1, ici_fwd_bwd, dcn_rowpart, 2, chips_per_host=4,
+                overlap_ici=OF["spmm_halo_fwd"],
+                overlap_dcn=OF["spmm_halo_fwd"]),
+            "dp_over_dcn": cm.project_scaling_hier(
+                t1, ici_fwd_bwd, dcn_dp, 2, chips_per_host=4,
+                overlap_ici=OF["spmm_halo_fwd"],
+                overlap_dcn=OF["psum_bwd"]),
+            "dcn_bytes": {"rowpart": dcn_rowpart, "dp_grad": dcn_dp},
+        }
+    # attention (kv-sharded halo) at s=32768: rowpart-over-DCN boundary
+    attn_halo4 = 2.0 * 2.0 * (halo4[0] + halo4[1]) * 1 * 128 * 4
+    two_host["attention_grad_s32k_gqa4_kvsharded"] = {
+        "rowpart_over_dcn": cm.project_scaling_hier(
+            T1_ATTN_GRAD_MS, attn_halo4,
+            2.0 * cm.hier_halo_dcn_bytes(halo4, 128, 2), 2,
+            chips_per_host=4,
+            overlap_ici=OF["attention_halo_fwd"],
+            overlap_dcn=OF["attention_halo_fwd"]),
+    }
+
     print(json.dumps({
         "unsharded_ms": round(t_un, 4),
         "sharded_ndev1_ms": round(t_sh, 4),
@@ -298,6 +342,7 @@ def tpu_mode():
         "banded_w256_fwd_ms": round(t_band, 4),
         "banded_w256_s32k_fwd_ms": round(t_band32, 4),
         "projection": proj,
+        "two_host": two_host,
     }, indent=1, default=float))
 
 

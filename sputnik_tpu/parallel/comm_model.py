@@ -36,7 +36,8 @@ import numpy as np
 __all__ = ["Chip", "V5E", "psum_bytes", "all_gather_bytes",
            "spmm_comm_bytes", "spmm_halo_comm_bytes",
            "attention_comm_bytes", "project_scaling",
-           "OVERLAP_FRACTIONS"]
+           "project_scaling_hier", "hier_halo_dcn_bytes",
+           "hier_dp_grad_dcn_bytes", "OVERLAP_FRACTIONS"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +46,13 @@ class Chip:
     bf16_flops: float          # peak MXU FLOP/s
     hbm_bw: float              # bytes/s
     ici_oneway: float          # bytes/s one-way per link
+    # DCN (data-center network): the per-HOST egress rate shared by all
+    # of the host's chips — two orders of magnitude below aggregate ICI,
+    # which is why the hierarchical layouts below keep halo/psum traffic
+    # off it. Public scaling-book figure: 2.5e10 B/s per host (v5e),
+    # 8 chips per host.
+    dcn_host_oneway: float = 2.5e10
+    chips_per_host: int = 8
 
 
 V5E = Chip(name="v5e", bf16_flops=1.97e14, hbm_bw=8.19e11,
@@ -234,6 +242,80 @@ OVERLAP_FRACTIONS = {
     "ring_fwd": 1.0, "ring_bwd": 0.5,
     "psum_bwd": 0.0,
 }
+
+
+def project_scaling_hier(t1_ms: float, ici_bytes_per_dev: float,
+                         dcn_bytes_per_host: float, n_hosts: int,
+                         chip: Chip = V5E, *,
+                         chips_per_host: int = 0,
+                         overlap_ici: float = 0.0,
+                         overlap_dcn: float = 0.0) -> dict:
+    """Two-tier (N >= 2 hosts) scaling projection.
+
+    Hierarchical layout assumption: the fast-changing axis (sp row
+    partition / tp heads) lives INSIDE a host on ICI; the across-host
+    axis moves ``dcn_bytes_per_host`` through each host's shared DCN port
+    per step. ``t1_ms`` is the measured single-chip time for the FULL
+    problem; compute divides over all ``chips_per_host * n_hosts`` chips.
+    Overlap fractions behave as in :func:`project_scaling`, per tier; the
+    two transfers themselves run on disjoint fabrics and overlap each
+    other freely, so the exposed time is the max of the two exposed
+    remainders after hiding under compute. Serialized floors reported
+    alongside.
+    """
+    cph = chips_per_host or chip.chips_per_host
+    n_total = cph * n_hosts
+    t_comp = t1_ms / n_total
+    t_ici = ici_bytes_per_dev / chip.ici_oneway * 1e3
+    t_dcn = dcn_bytes_per_host / chip.dcn_host_oneway * 1e3
+    t_serial = t_comp + t_ici + t_dcn
+
+    def combine(tc, tx, f):
+        return max(tc, f * tx) + (1.0 - f) * tx
+
+    # each fabric hides under compute independently; the exposed parts
+    # are charged SEQUENTIALLY even though the fabrics are disjoint
+    # (conservative)
+    exposed_ici = max(combine(t_comp, t_ici, overlap_ici) - t_comp, 0.0) \
+        if t_ici else 0.0
+    exposed_dcn = max(combine(t_comp, t_dcn, overlap_dcn) - t_comp, 0.0) \
+        if t_dcn else 0.0
+    t = t_comp + exposed_ici + exposed_dcn
+    return {"n_hosts": n_hosts, "chips_per_host": cph, "ndev": n_total,
+            "t_ms": t, "t_ms_serial": t_serial, "t_compute_ms": t_comp,
+            "t_ici_ms": t_ici, "t_dcn_ms": t_dcn,
+            "efficiency": t1_ms / (n_total * t) if t else 1.0,
+            "efficiency_serial":
+                t1_ms / (n_total * t_serial) if t_serial else 1.0,
+            "dcn_fraction": t_dcn / t_serial if t_serial else 0.0}
+
+
+def hier_halo_dcn_bytes(halo_rows: tuple, q: int, n_hosts: int, *,
+                        itemsize: int = 4) -> float:
+    """Per-host DCN bytes for a contiguous row/key partition spanning
+    hosts: only the shards at each host BOUNDARY exchange their halo
+    across DCN — every interior halo rides ICI. A host in a 2-host line
+    has one boundary; interior hosts of a longer line have two.
+
+    This is the structural win of contiguous (banded) partitions at the
+    host tier: DCN volume is O(halo), independent of both sequence
+    length and per-host chip count.
+    """
+    if n_hosts <= 1:
+        return 0.0
+    lo, hi = halo_rows
+    boundaries = 2 if n_hosts > 2 else 1
+    return float((lo + hi) * q * itemsize * boundaries)
+
+
+def hier_dp_grad_dcn_bytes(n_params: int, n_hosts: int, *,
+                           itemsize: int = 4) -> float:
+    """Per-host DCN bytes for data parallelism across hosts: one ring
+    all-reduce of the gradient (2 * P * (H-1)/H) per step. The
+    alternative to extending the row partition over DCN — wins when the
+    parameter volume is smaller than the boundary activations, loses on
+    large models; benchmarks/scaling.py prices both."""
+    return psum_bytes(float(n_params) * itemsize, n_hosts)
 
 
 def nnz_balance(part) -> dict:

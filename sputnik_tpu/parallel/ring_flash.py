@@ -342,8 +342,16 @@ def _ring_fwd_local(spec, group, meta_loc, q, k0, v0):
 
 
 def _smap(spec, fn, in_specs, out_specs):
+    # On a multi-axis mesh, stay MANUAL only over the spec's own axis:
+    # the other axes (dp across hosts, tp) remain under GSPMD control, so
+    # an outer jit can shard the replica/batch dims over them — the
+    # hierarchical host-tier composition (see __graft_entry__'s 2x4
+    # dryrun and comm_model's DCN tier).
+    kw = {}
+    if spec.mesh is not None and len(spec.mesh.axis_names) > 1:
+        kw["axis_names"] = frozenset({spec.axis})
     return jax.shard_map(fn, mesh=spec.mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
+                         out_specs=out_specs, check_vma=False, **kw)
 
 
 def _fwd(spec, group, q_p, k_p, v_p):

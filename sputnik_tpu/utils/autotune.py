@@ -1,0 +1,181 @@
+"""On-chip tile autotuner with a persistent host-side cache.
+
+The tile tables in the codebase (``panel_api.default_block``, the banded
+(512, 128) special case, ``transformer.flash_tiles``) are hand-measured
+defaults — right for the shapes they were swept at, and silently wrong
+as kernels evolve or new shape regimes appear (the (512,1024) vs
+(1024,1024) flash-tile reversal took three sessions to settle). This
+module replaces trust with measurement: a small on-chip sweep per
+(device, op, shape-class, density-class, dtype), cached in a JSON file
+so each configuration is paid for ONCE per machine.
+
+Usage::
+
+    from sputnik_tpu.utils import autotune
+    bm, bk = autotune.best_spmm_tiles(topo, dtype=jnp.bfloat16)
+    spec = PanelSpec(topo, bm=bm, bk=bk)
+
+or generically::
+
+    best, table = autotune.sweep("myop", key, candidates, build_and_time)
+
+``bench.py`` exposes the sweep via ``BENCH_AUTOTUNE=1`` and records
+tuned-vs-default in benchmarks/RESULTS.md.
+
+Cache location: ``$SPUTNIK_AUTOTUNE_CACHE`` or
+``~/.cache/sputnik_tpu/autotune.json``. Timing uses the chain-length
+slope method (``utils.profiling.measure``) — the only method that
+survives the remote-TPU tunnel. Entries record the measured ms per
+candidate, so a stale cache is inspectable and deletable per key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import profiling
+
+__all__ = ["sweep", "best_spmm_tiles", "cache_path", "shape_class",
+           "SPMM_TILE_CANDIDATES"]
+
+# candidate (bm, bk) panel tiles — the measured winners across the
+# RESULTS.md sweeps plus their neighbours; bn is derived per call width
+SPMM_TILE_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (128, 128), (256, 128), (512, 128), (512, 512),
+    (1024, 128), (1024, 512), (2048, 1024),
+)
+
+
+def cache_path() -> str:
+    p = os.environ.get("SPUTNIK_AUTOTUNE_CACHE")
+    if p:
+        return p
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "sputnik_tpu", "autotune.json")
+
+
+def _load() -> dict:
+    try:
+        with open(cache_path()) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _store(data: dict) -> None:
+    path = cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _device_kind() -> str:
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+
+
+def _bucket(x: float, base: float = 2.0) -> float:
+    """Round to the nearest power of ``base`` (shape/density classing)."""
+    if x <= 0:
+        return 0.0
+    return float(base ** round(np.log(x) / np.log(base)))
+
+
+def shape_class(m: int, n: int, density: float, dtype) -> str:
+    """Coarse key: shapes within ~sqrt(2)x and densities within ~2x of
+    each other share a tuning entry (tile optima move slowly)."""
+    import jax.numpy as jnp
+
+    return (f"m{int(_bucket(m))}_n{int(_bucket(n))}"
+            f"_d{_bucket(max(density, 1e-4))}"
+            f"_{jnp.dtype(dtype).name}")
+
+
+def sweep(op: str, key: str,
+          candidates: Sequence,
+          time_candidate: Callable[[object], Optional[float]],
+          *, force: bool = False) -> Tuple[object, Dict[str, float]]:
+    """Generic cached sweep.
+
+    ``time_candidate(cand)`` returns ms for one candidate (built + run
+    on the current device), or None to skip it (illegal config). The
+    winner and the full table are cached under
+    ``(device, op, key)`` and returned as ``(best_candidate, table)``.
+    Candidates are identified in the cache by ``repr(cand)``; the cached
+    winner is re-matched against the CURRENT candidate list, so adding
+    new candidates re-runs the sweep.
+    """
+    cache = _load()
+    ck = f"{_device_kind()}|{op}|{key}"
+    ent = cache.get(ck)
+    reprs = [repr(c) for c in candidates]
+    if ent and not force and ent.get("candidates") == reprs:
+        best = candidates[reprs.index(ent["best"])]
+        return best, ent["table"]
+
+    table: Dict[str, float] = {}
+    for cand in candidates:
+        try:
+            ms = time_candidate(cand)
+        except Exception as e:            # illegal tiling, OOM, ...
+            table[repr(cand)] = float("nan")
+            table[repr(cand) + ":error"] = str(e)[:120]
+            continue
+        if ms is not None:
+            table[repr(cand)] = float(ms)
+    valid = {k: v for k, v in table.items()
+             if isinstance(v, float) and np.isfinite(v)}
+    if not valid:
+        raise RuntimeError(f"autotune sweep {op}/{key}: no candidate ran")
+    best_repr = min(valid, key=valid.get)
+    cache[ck] = {"best": best_repr, "table": table,
+                 "candidates": reprs}
+    _store(cache)
+    return candidates[reprs.index(best_repr)], table
+
+
+def best_spmm_tiles(topo, *, dtype=None, q: int = 1024,
+                    candidates: Iterable = SPMM_TILE_CANDIDATES,
+                    force: bool = False) -> Tuple[int, int]:
+    """Measured-best ``(bm, bk)`` for ``panel_api.spmm`` on this
+    topology's shape class (cached per device). Falls back to
+    ``panel_api.default_block`` off-TPU (interpret-mode times are
+    meaningless)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import panel_api as P
+
+    dtype = dtype or jnp.float32
+    if jax.devices()[0].platform != "tpu":
+        return P.default_block(topo)
+
+    density = topo.nnz / max(topo.m * topo.n, 1)
+    key = shape_class(topo.m, topo.n, density, dtype)
+    rng = np.random.RandomState(0)
+    vals = rng.randn(topo.nnz_pad).astype(np.float32)
+    dense = jnp.asarray(rng.randn(topo.n, q).astype(np.float32)).astype(
+        dtype)
+
+    def time_candidate(cand):
+        bm, bk = cand
+        if bm > topo.m * 2 or bk > topo.n * 2:
+            return None
+        spec = P.PanelSpec(topo, bm=bm, bk=bk)
+        panel = jnp.asarray(
+            P.values_to_panel_np(topo, vals, bm, bk)).astype(dtype)
+        fn = jax.jit(lambda p, d: P.spmm(spec, p, d))
+        return profiling.measure(fn, panel, dense,
+                                 iters_lo=5, iters_hi=15, repeats=2)
+
+    best, _ = sweep("spmm", key, list(candidates), time_candidate,
+                    force=force)
+    return best

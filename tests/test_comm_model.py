@@ -1,5 +1,6 @@
 """Analytic comm/compute model (`parallel/comm_model.py`) invariants."""
 
+import pytest
 import numpy as np
 
 import sputnik_tpu as st
@@ -84,3 +85,46 @@ def test_nnz_balance():
     bal = cm.nnz_balance(part)
     assert len(bal["per_device"]) == 4
     assert bal["max_over_mean"] < 1.2
+
+
+def test_project_scaling_overlap():
+    chip = cm.V5E
+    # comm equal to per-device compute, fully overlappable -> hidden
+    comm_bytes = (8.0 / 8) * 1e-3 * chip.ici_oneway
+    p = cm.project_scaling(8.0, comm_bytes, 8, overlap_fraction=1.0)
+    assert abs(p["efficiency"] - 1.0) < 1e-9
+    assert abs(p["efficiency_serial"] - 0.5) < 1e-9   # floor kept
+    # half-overlappable ring-bwd style: exposed half remains
+    p = cm.project_scaling(8.0, comm_bytes, 8, overlap_fraction=0.5)
+    assert p["efficiency_serial"] < p["efficiency"] < 1.0
+    # f=0 reproduces the serialized model exactly
+    p = cm.project_scaling(8.0, comm_bytes, 8, overlap_fraction=0.0)
+    assert abs(p["t_ms"] - p["t_ms_serial"]) < 1e-12
+    with pytest.raises(ValueError):
+        cm.project_scaling(8.0, comm_bytes, 8, overlap_fraction=1.5)
+
+
+def test_project_scaling_hier():
+    # no DCN traffic: reduces to the one-tier projection over all chips
+    p = cm.project_scaling_hier(8.0, 0.0, 0.0, 2, chips_per_host=4)
+    assert p["ndev"] == 8 and abs(p["efficiency"] - 1.0) < 1e-12
+    # DCN traffic hurts more than the same bytes on ICI
+    b = 1e6
+    ici_only = cm.project_scaling_hier(8.0, b, 0.0, 2, chips_per_host=4)
+    dcn_only = cm.project_scaling_hier(8.0, 0.0, b, 2, chips_per_host=4)
+    assert dcn_only["t_ms"] > ici_only["t_ms"]
+    # overlap hides DCN under compute when compute dominates
+    ov = cm.project_scaling_hier(8.0, 0.0, 1e4, 2, chips_per_host=4,
+                                 overlap_dcn=1.0)
+    assert abs(ov["efficiency"] - 1.0) < 1e-9
+    assert ov["efficiency_serial"] < 1.0
+
+
+def test_hier_dcn_bytes():
+    # 2 hosts: one boundary; >2 hosts: two boundaries per interior host
+    b2 = cm.hier_halo_dcn_bytes((64, 64), 128, 2)
+    b4 = cm.hier_halo_dcn_bytes((64, 64), 128, 4)
+    assert b2 == 128 * 128 * 4 and b4 == 2 * b2
+    assert cm.hier_halo_dcn_bytes((64, 64), 128, 1) == 0.0
+    # dp grad ring all-reduce formula
+    assert cm.hier_dp_grad_dcn_bytes(1000, 2) == cm.psum_bytes(4000, 2)

@@ -21,6 +21,7 @@ EXAMPLES = [
     ("serve_sparse_int8.py", ["--small"]),
     ("train_sparse_transformer.py", ["--small", "--steps", "3"]),
     ("dynamic_sparse_training.py", ["--small"]),
+    ("serve_speculative.py", ["--small"]),
 ]
 
 

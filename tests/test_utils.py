@@ -128,3 +128,51 @@ def test_stacked_panel_preserves_dtype():
     vals16 = np.asarray(jnp.asarray(mat.values, jnp.bfloat16))
     panels = part.stacked_panel(vals16, 16, 16)
     assert panels.dtype == vals16.dtype
+
+
+def test_autotune_sweep_cache(tmp_path, monkeypatch):
+    """Generic sweep: caches the winner keyed by candidate list, skips
+    failing candidates, re-runs when candidates change."""
+    from sputnik_tpu.utils import autotune
+
+    monkeypatch.setenv("SPUTNIK_AUTOTUNE_CACHE",
+                       str(tmp_path / "at.json"))
+    calls = []
+
+    def timer(c):
+        calls.append(c)
+        if c == "bad":
+            raise RuntimeError("illegal tiling")
+        return {"a": 3.0, "b": 1.0, "c": 2.0}[c]
+
+    best, table = autotune.sweep("op", "k1", ["a", "b", "bad", "c"], timer)
+    assert best == "b" and len(calls) == 4
+    assert "'bad':error" in table
+    # cached: no new timing calls
+    best2, _ = autotune.sweep("op", "k1", ["a", "b", "bad", "c"], timer)
+    assert best2 == "b" and len(calls) == 4
+    # changed candidate list -> re-sweep
+    best3, _ = autotune.sweep("op", "k1", ["a", "b"], timer)
+    assert best3 == "b" and len(calls) == 6
+
+
+def test_autotune_spmm_fallback_off_tpu():
+    """Off-TPU there is nothing meaningful to time: fall back to the
+    hand-measured default_block."""
+    import sputnik_tpu as st
+    from sputnik_tpu.ops import panel_api as P
+    from sputnik_tpu.utils import autotune
+
+    topo = st.SparseTopology.from_dense_mask(
+        (np.random.RandomState(0).rand(256, 256) < 0.3).astype(
+            np.float32))
+    assert autotune.best_spmm_tiles(topo) == P.default_block(topo)
+
+
+def test_autotune_shape_class_buckets():
+    from sputnik_tpu.utils import autotune
+
+    a = autotune.shape_class(4096, 4096, 0.1, jnp.float32)
+    b = autotune.shape_class(4100, 4000, 0.11, jnp.float32)
+    c = autotune.shape_class(8192, 4096, 0.1, jnp.float32)
+    assert a == b and a != c

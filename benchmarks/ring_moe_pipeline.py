@@ -171,8 +171,12 @@ def tpu_mode():
     pipe = jax.jit(lambda p, xx: pipeline_apply(spec, stage_fn, p, xx))
     out["pipeline_1stage_2micro_ms"] = round(measure(pipe, stacked, x2),
                                              4)
-    direct = jax.jit(lambda p, xx: layer.apply({"params": p}, xx))
-    out["layer_direct_ms"] = round(measure(direct, p0, x2), 4)
+    # sequential two-microbatch baseline (the mask topology is built for
+    # mb_-sized batches — the schedule splits x2 the same way)
+    direct = jax.jit(lambda p, xx: jnp.concatenate(
+        [layer.apply({"params": p}, xx[:mb_]),
+         layer.apply({"params": p}, xx[mb_:])], axis=0))
+    out["sequential_2micro_ms"] = round(measure(direct, p0, x2), 4)
 
     print(json.dumps(out, indent=1))
 

@@ -96,13 +96,17 @@ def main():
       np.asarray(topo.column_indices[:nz])] = vals[:nz]
 
     # ---- flat API: pallas vs XLA oracle, same chip -----------------------
+    # matmul families: the Pallas kernels contract on the MXU (bf16
+    # passes at default precision) while the flat XLA oracle's gather
+    # formulation sums in true f32 -> ~2.5e-3 rel on chip (measured);
+    # softmax is elementwise (no MXU) and stays exact
     for name, fn, args, tol in [
-        ("flat_spmm", st.spmm, (topo, vals_j, dense), 1e-4),
+        ("flat_spmm", st.spmm, (topo, vals_j, dense), 1e-2),
         ("flat_spmm_bias_relu", st.spmm_bias_relu,
-         (topo, vals_j, dense, jnp.ones((m,), jnp.float32)), 1e-4),
+         (topo, vals_j, dense, jnp.ones((m,), jnp.float32)), 1e-2),
         ("flat_sddmm", st.sddmm,
          (topo, jnp.asarray(rng.randn(m, 128).astype(np.float32)),
-          jnp.asarray(rng.randn(n, 128).astype(np.float32))), 1e-4),
+          jnp.asarray(rng.randn(n, 128).astype(np.float32))), 1e-2),
         ("flat_softmax", st.sparse_softmax, (topo, vals_j), 1e-5),
     ]:
         got = with_backend("pallas", fn, *args)
@@ -210,6 +214,34 @@ def main():
     for nm, g, r in zip(("flash_fwd", "flash_bwd_dq", "flash_bwd_dk",
                          "flash_bwd_dv"), pal, ora):
         record(nm, rel(g, r), 2e-2)
+
+    # ---- batched spmm at wide q (bn=512) + big tiles (the MoE bank) ------
+    topo_w = st.SparseTopology.from_dense_mask(
+        (rng.rand(1024, 1024) < 0.25).astype(np.float32))
+    spec_w = bp.BatchedPanelSpec([topo_w], heads=4, bm=1024, bk=1024)
+    # panel convention: masked-out slots must be ZERO (the kernel
+    # multiplies whole blocks; only the oracle path extracts nnz)
+    bv_w = topo_w.block(1024, 1024)
+    mask_p = np.zeros(spec_w.panel_shape, np.float32)
+    mask_p[:, : bv_w.max_bpr] = np.asarray(bv_w.mask, np.float32)
+    pw = jnp.asarray(rng.randn(4, *spec_w.panel_shape).astype(np.float32)
+                     * mask_p[None])
+    dw = jnp.asarray(rng.randn(4, 1024, 640).astype(np.float32))
+    Aw = np.zeros((1024, 1024), np.float32)
+    nzw = topo_w.nnz
+    Aw[np.asarray(topo_w.row_ids[:nzw]),
+       np.asarray(topo_w.column_indices[:nzw])] = 1.0
+    # panel -> dense weights per replica for the oracle
+    from sputnik_tpu.ops import panel_api as PAN
+    refs = []
+    for r_ in range(4):
+        fv = PAN.panel_to_values_np(topo_w, np.asarray(pw[r_]), 1024, 1024)
+        Ar = np.zeros((1024, 1024), np.float32)
+        Ar[np.asarray(topo_w.row_ids[:nzw]),
+           np.asarray(topo_w.column_indices[:nzw])] = fv[:nzw]
+        refs.append(Ar @ np.asarray(dw[r_]))
+    got_w = np.asarray(bp.spmm_bh(spec_w, pw, dw))[:, :1024]
+    record("spmm_bh_bigtile_q640", rel(got_w, np.stack(refs)), 1e-2)
 
     # ---- int8 family -----------------------------------------------------
     from sputnik_tpu.ops import int8_api as I8

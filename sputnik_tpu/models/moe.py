@@ -29,10 +29,42 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import api as ops
+from ..ops import batched_panel as bp
+from ..ops import panel_api as PA
 from ..topology import SparseTopology
 
 __all__ = ["SparseMoE"]
+
+
+def _bank_tiles(topo: SparseTopology):
+    """Measured on v5e (RESULTS.md r4 MoE): at [4096, 1024] d=0.25 the
+    expert bank runs 10x faster on (1024, 1024) tiles than the 128^2
+    default (the batched kernel is grid-step-overhead-bound at fat
+    shapes); small dims keep 128 for block granularity."""
+    def t(d):
+        return 1024 if d >= 1024 else (512 if d >= 512 else 128)
+
+    return t(topo.m), t(topo.n)
+
+
+def _bank_spec(topo: SparseTopology, n_rep: int, bm: int = 0,
+               bk: int = 0) -> "bp.BatchedPanelSpec":
+    """``(n_rep, bm, bk)``-keyed expert-bank spec, cached on the
+    topology's block view (the topology itself is __slots__-only): ONE
+    shared-topology metadata set, ``n_rep`` value replicas — experts are
+    exactly the batched-panel replica axis."""
+    if not bm or not bk:
+        bm, bk = _bank_tiles(topo)
+    bv = topo.block(bm, bk)
+    cached = getattr(bv, "_moe_specs", None)
+    if cached is None:
+        cached = {}
+        object.__setattr__(bv, "_moe_specs", cached)
+    key = (n_rep, bm, bk)
+    if key not in cached:
+        cached[key] = bp.BatchedPanelSpec([topo], heads=n_rep,
+                                          bm=bm, bk=bk)
+    return cached[key]
 
 
 class SparseMoE(nn.Module):
@@ -135,36 +167,48 @@ class SparseMoE(nn.Module):
             combine = (disp1 * g1n[:, None, None]
                        + disp2 * g2n[:, None, None])
 
-        # --- per-expert sparse values (shared topology) ------------------
-        from .linear import sparse_kaiming_values
-
-        init_in = sparse_kaiming_values(self.topo_in)
-        init_out = sparse_kaiming_values(self.topo_out)
+        # --- per-expert sparse values (shared topology, PANEL layout) ----
+        # Values live in the MXU block panel, the canonical device layout
+        # — the earlier flat-CSR params paid an in-trace values->panel
+        # scatter on EVERY forward (~8 ms/expert at h=1024/f=4096 on
+        # chip, the catastrophic-gather class; measured in RESULTS.md
+        # r4 MoE section). The expert bank is one batched-panel op per
+        # projection: experts = the replica axis of ``ops/batched_panel``
+        # sharing one topology's metadata.
+        spec_in = _bank_spec(self.topo_in, E)
+        spec_out = _bank_spec(self.topo_out, E)
+        init_in = PA.panel_kaiming_values(self.topo_in, spec_in.bm,
+                                          spec_in.bk)
+        init_out = PA.panel_kaiming_values(self.topo_out, spec_out.bm,
+                                           spec_out.bk)
         v_in = self.param("w_in_values",
                           lambda k, s, d=jnp.float32: jax.vmap(
                               lambda kk: init_in(kk, s[1:], d))(
                                   jax.random.split(k, E)),
-                          (E, self.topo_in.nnz_pad))
+                          (E,) + spec_in.panel_shape)
         v_out = self.param("w_out_values",
                            lambda k, s, d=jnp.float32: jax.vmap(
                                lambda kk: init_out(kk, s[1:], d))(
                                    jax.random.split(k, E)),
-                           (E, self.topo_out.nnz_pad))
+                           (E,) + spec_out.panel_shape)
 
-        def expert_bank(disp, comb, v1, v2, xflat):
+        def expert_bank(disp, comb, p1, p2, xflat, n_exp):
             """[T,E',C] dispatch over E' (possibly local) experts."""
+            s1 = _bank_spec(self.topo_in, n_exp)
+            s2 = _bank_spec(self.topo_out, n_exp)
             xin = jnp.einsum("tec,th->ehc", disp, xflat)   # [E', h, C]
-            y1 = ops.spmm(self.topo_in, v1, xin)           # [E', f, C]
-            y2 = ops.spmm(self.topo_out, v2, self._act(y1))
+            y1 = bp.spmm_bh(s1, p1, xin)                   # [E', f, C]
+            y2 = bp.spmm_bh(s2, p2, self._act(y1))         # [E', h, C]
             return jnp.einsum("tec,ehc->th", comb, y2)     # [T, h]
 
         if self.mesh is None:
-            out = expert_bank(dispatch, combine, v_in, v_out, xf)
+            out = expert_bank(dispatch, combine, v_in, v_out, xf, E)
         else:
             ax = self.axis
+            n_loc = E // self.mesh.shape[ax]
 
             def local(disp, comb, v1, v2, xflat):
-                part = expert_bank(disp, comb, v1, v2, xflat)
+                part = expert_bank(disp, comb, v1, v2, xflat, n_loc)
                 return jax.lax.psum(part, ax)
 
             out = jax.shard_map(
@@ -176,3 +220,22 @@ class SparseMoE(nn.Module):
             )(dispatch, combine, v_in, v_out, xf)
 
         return out.reshape(*lead, h)
+
+    # -- value-layout boundary helpers -------------------------------------
+
+    def flat_values(self, panels, which: str = "in") -> np.ndarray:
+        """Panel-layout expert values ``[E, *panel]`` -> flat CSR
+        ``[E, nnz_pad]`` (host boundary; dtype-preserving)."""
+        topo = self.topo_in if which == "in" else self.topo_out
+        spec = _bank_spec(topo, self.num_experts)
+        return np.stack([
+            PA.panel_to_values_np(topo, np.asarray(p), spec.bm, spec.bk)
+            for p in np.asarray(panels)])
+
+    def panel_values(self, flat, which: str = "in") -> np.ndarray:
+        """Inverse of :meth:`flat_values`."""
+        topo = self.topo_in if which == "in" else self.topo_out
+        spec = _bank_spec(topo, self.num_experts)
+        return np.stack([
+            PA.values_to_panel_np(topo, np.asarray(v), spec.bm, spec.bk)
+            for v in np.asarray(flat)])

@@ -159,6 +159,7 @@ def _k_spmm_bh(cols, nblk, panels, dense, *, R, heads, mb, max_bpr,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(cols, nblk, panels, dense)
@@ -218,6 +219,7 @@ def _k_sddmm_bh(cols, nblk, mask, lhs, rhs, *, R, heads, mb, max_bpr,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(cols, nblk, mask, lhs, rhs)
@@ -272,6 +274,7 @@ def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(ti, ts, tn, panels, g)
@@ -307,7 +310,9 @@ def _spmm_impl(spec, panels, dense):
     """panels [R, *] x dense [R, n, q] -> [R, m, q]."""
     q = dense.shape[-1]
     if _use_kernels():
-        bn = 512 if q >= 2048 else 128
+        # 512-wide output tiles pay off well below 2048 (measured:
+        # 1.6x at q=1280 on the MoE bank); tiny widths keep 128
+        bn = 512 if q >= 512 else 128
         q_pad = _round_up(max(q, 1), bn)
         dense_p = _pad_rows(spec, dense, spec.n_pad, q_pad)
         out = _k_spmm_bh(
@@ -334,7 +339,7 @@ def _spmm_t_impl(spec, panels, g_r):
     """A_r^T @ G_r: panels [R, *] x g [R, m_pad, q_pad] -> [R, n, q]."""
     q = g_r.shape[-1]
     if _use_kernels():
-        bq = 512 if q >= 2048 else 128
+        bq = 512 if q >= 512 else 128
         q_pad = _round_up(max(q, 1), bq)
         g_p = _pad_rows(spec, g_r, spec.m_pad, q_pad)
         out = _k_spmm_t_bh(

@@ -28,6 +28,14 @@ def _dense_w(topo, values):
     return out
 
 
+def _flatten_params(moe, params):
+    """Panel-layout expert values -> flat CSR for the dense refs."""
+    p = dict(params)
+    p["w_in_values"] = moe.flat_values(params["w_in_values"], "in")
+    p["w_out_values"] = moe.flat_values(params["w_out_values"], "out")
+    return p
+
+
 def _ref_moe(params, topo_in, topo_out, x, E, C):
     """Dense numpy reference of the top-1 routed forward."""
     xf = np.asarray(x).reshape(-1, x.shape[-1])
@@ -61,7 +69,8 @@ def test_moe_matches_dense_reference():
     params = moe.init(jax.random.PRNGKey(0), x)
     y = moe.apply(params, x)
     C = int(np.ceil(b * s / E * 1.5))
-    ref = _ref_moe(params["params"], topo_in, topo_out, x, E, C)
+    ref = _ref_moe(_flatten_params(moe, params["params"]),
+                   topo_in, topo_out, x, E, C)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
 
 
@@ -195,7 +204,8 @@ def test_moe_top2_matches_dense_reference():
     params = moe.init(jax.random.PRNGKey(0), x)
     y = moe.apply(params, x)
     C = int(np.ceil(b * s / E * 2 * 1.25))
-    ref = _ref_moe_top2(params["params"], topo_in, topo_out, x, E, C)
+    ref = _ref_moe_top2(_flatten_params(moe, params["params"]),
+                        topo_in, topo_out, x, E, C)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
 
 
@@ -214,7 +224,8 @@ def test_moe_top2_overflow_sheds_second_choices():
     params = moe.init(jax.random.PRNGKey(0), x)
     y = moe.apply(params, x)
     C = int(np.ceil(T / E * 2 * 0.5))
-    ref = _ref_moe_top2(params["params"], topo_in, topo_out, x, E, C)
+    ref = _ref_moe_top2(_flatten_params(moe, params["params"]),
+                        topo_in, topo_out, x, E, C)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
     assert np.abs(np.asarray(y)).max() > 0
 

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 import sputnik_tpu as st
 from sputnik_tpu.parallel import RowPartition
@@ -283,3 +283,47 @@ def test_ring_fwd_dataflow(mesh):
     # bwd scan body: k/v rotations free (2), dk/dv rotations serialized (2)
     assert repb.ppermute_after_pallas == 2
     assert repb.ppermute_total == 2 + 2 + 2   # fwd replay + bwd body
+
+
+def test_hierarchical_host_sp_mesh(mesh):
+    """2 x 4 ("host", "sp") mesh: the kv-sharded attention runs MANUAL
+    over sp while the host axis stays under GSPMD — host-sharded
+    replica dims must reproduce the 1-axis-mesh result exactly (the
+    dp-over-DCN x sp-over-ICI layout of comm_model's host tier)."""
+    from sputnik_tpu.parallel.flash_sharded import (
+        ShardedFlashSpec, flash_attention_kv_sharded)
+
+    s, hd, R = 512, 16, 4           # R = replica dim, sharded over host
+    sp = 4
+    mask = _window_mask(s, 96)
+    part = RowPartition(st.SparseTopology.from_dense_mask(mask), sp,
+                        bm=8, balance=False)
+    mesh1 = Mesh(np.array(jax.devices()[:sp]), ("sp",))
+    spec1 = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh1, axis="sp")
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, sp),
+                 ("host", "sp"))
+    spec2 = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh2, axis="sp")
+
+    rng = np.random.RandomState(3)
+    n_loc = s // sp
+    q = jnp.asarray(rng.randn(sp, R, n_loc, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(sp, R, n_loc, hd).astype(np.float32))
+
+    out1 = jax.jit(lambda a, b, c: flash_attention_kv_sharded(
+        spec1, a, b, c))(q, k, k)
+
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh2, P(None, "host", None, None))
+    q2, k2 = jax.device_put(q, sh), jax.device_put(k, sh)
+    f2 = jax.jit(lambda a, b, c: flash_attention_kv_sharded(
+        spec2, a, b, c))
+    out2 = f2(q2, k2, k2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               atol=1e-5)
+    # grads flow through the two-axis mesh too (host grad all-reduce
+    # handled by GSPMD)
+    g = jax.jit(jax.grad(lambda a, b, c: jnp.sum(
+        flash_attention_kv_sharded(spec2, a, b, c) ** 2),
+        argnums=(0, 1, 2)))(q2, k2, k2)
+    for t in g:
+        assert np.isfinite(np.asarray(t)).all()

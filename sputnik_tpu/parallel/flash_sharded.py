@@ -636,6 +636,12 @@ def _overlap_meta(spec: ShardedFlashSpec, n_loc: int):
     global (the kernel reads the halo-assembled buffer)."""
     cache = getattr(spec, "_ov_meta", None)
     if cache is not None:
+        if cache["n_loc"] != n_loc:
+            # kv-sharding fixes n_loc = n_pad // ndev; a different value
+            # means a caller bug, not a cache-key miss
+            raise ValueError(
+                f"overlap metadata built for n_loc={cache['n_loc']}, "
+                f"got {n_loc}")
         return cache
     ndev = spec.part.ndev
     fmet_i, fmet_h = [], []
@@ -653,6 +659,7 @@ def _overlap_meta(spec: ShardedFlashSpec, n_loc: int):
         "i": _stack_fmetas(fmet_i, spec.mb, kb_i),
         "h": _stack_fmetas(fmet_h, spec.mb, spec.kb),
         "kb_i": kb_i,
+        "n_loc": n_loc,
     }
     spec._ov_meta = meta
     return meta

@@ -80,6 +80,10 @@ class SparseDecoder:
                  sinks: int = 0, cache_dtype=jnp.bfloat16):
         if model.hidden_size % model.num_heads:
             raise ValueError("hidden_size must divide num_heads")
+        if getattr(model, "moe_every", 0):
+            raise ValueError(
+                "serving decoders expect dense-MLP layers; MoE-interleaved "
+                "models (moe_every > 0) are a training-side feature")
         self.model = model
         self.bk = bk
         self.s_max = ((s_max + bk - 1) // bk) * bk

@@ -256,6 +256,11 @@ class TransformerLayer(nn.Module):
     use_residual: bool = False
     use_layernorm: bool = False
     attention_layout: str = "flash"
+    # Mixture-of-Experts FFN (Switch/Mixtral-style): when ``moe`` is a
+    # SparseMoE *module instance* (hashable flax dataclass), it replaces
+    # the dense-in/dense-out MLP — sparse expert FFNs behind a router,
+    # optionally expert-parallel over the module's own mesh axis.
+    moe: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(self, x):
@@ -274,12 +279,24 @@ class TransformerLayer(nn.Module):
         x = x + attn if self.use_residual else attn
 
         mlp_in = maybe_ln(x, "ln_mlp")
-        mlp = MLP(
-            hidden_size=self.hidden_size,
-            ffn_hidden_size=self.ffn_hidden_size,
-            activation=self.activation,
-            name="mlp",
-        )(mlp_in)
+        if self.moe is not None:
+            # fresh child per layer from the template's config (each MoE
+            # layer gets its OWN router + expert values; flax's shared
+            # -instance adoption would tie them). Construct a NEW
+            # instance inside compact so it binds into this layer.
+            import dataclasses as _dc
+
+            cfg = {f.name: getattr(self.moe, f.name)
+                   for f in _dc.fields(self.moe)
+                   if f.name not in ("parent", "name")}
+            mlp = type(self.moe)(**cfg, name="mlp")(mlp_in)
+        else:
+            mlp = MLP(
+                hidden_size=self.hidden_size,
+                ffn_hidden_size=self.ffn_hidden_size,
+                activation=self.activation,
+                name="mlp",
+            )(mlp_in)
         return x + mlp if self.use_residual else mlp
 
 
@@ -305,6 +322,14 @@ class SparseTransformer(nn.Module):
     use_layernorm: bool = False
     attention_layout: str = "flash"
     remat: bool = False
+    # Interleaved MoE (Switch-style): every ``moe_every``-th layer's MLP
+    # is replaced by ``moe`` (a SparseMoE instance — sparse expert FFNs
+    # behind a top-1/top-2 router, optionally ep-sharded). 0 = no MoE;
+    # 1 = every layer; 2 = layers 1, 3, 5, ... (the Switch default).
+    # Training-side feature: the serving decoders expect dense-MLP
+    # layer params and reject MoE models.
+    moe: Optional[nn.Module] = None
+    moe_every: int = 0
 
     @classmethod
     def from_masks(cls, masks: np.ndarray, **kwargs) -> "SparseTransformer":
@@ -315,9 +340,13 @@ class SparseTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.moe_every and self.moe is None:
+            raise ValueError("moe_every set but no moe module given")
         layer_cls = nn.remat(TransformerLayer) if self.remat \
             else TransformerLayer
         for i in range(self.num_layers):
+            is_moe = bool(self.moe_every) and (i % self.moe_every
+                                               == self.moe_every - 1)
             x = layer_cls(
                 mask_topology=self.mask_topology,
                 hidden_size=self.hidden_size,
@@ -328,6 +357,7 @@ class SparseTransformer(nn.Module):
                 use_residual=self.use_residual,
                 use_layernorm=self.use_layernorm,
                 attention_layout=self.attention_layout,
+                moe=self.moe if is_moe else None,
                 name=f"layer_{i}",
             )(x)
         return x

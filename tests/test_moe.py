@@ -257,3 +257,91 @@ def test_moe_top2_grads_and_ep_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-5, rtol=1e-4)
     assert np.abs(np.asarray(g["params"]["w_in_values"])).max() > 0
+
+
+def test_moe_transformer_interleaved():
+    """Switch-style interleave: every 2nd layer's MLP is a SparseMoE with
+    its OWN router + expert values; dense layers keep the plain MLP;
+    gradients flow to both; serving decoders reject the model."""
+    import jax
+    from sputnik_tpu.models.transformer import SparseTransformer
+
+    rng = np.random.RandomState(0)
+    b, s, h, f = 2, 16, 32, 48
+    masks = np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                            (b, s, s)).copy()
+    topo_in, topo_out = _topos(rng)
+    moe = SparseMoE(topo_in=topo_in, topo_out=topo_out, num_experts=4,
+                    top_k=2)
+    model = SparseTransformer.from_masks(
+        masks, num_layers=4, hidden_size=h, num_heads=2,
+        ffn_hidden_size=f, use_residual=True, use_layernorm=True,
+        activation="gelu", moe=moe, moe_every=2)
+    x = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    for i in (1, 3):      # MoE layers
+        lp = params["params"][f"layer_{i}"]["mlp"]
+        assert "router" in lp and "w_in_values" in lp
+    for i in (0, 2):      # dense layers
+        assert "to_4h" in params["params"][f"layer_{i}"]["mlp"]
+    # per-layer experts are INDEPENDENT parameters
+    w1 = np.asarray(params["params"]["layer_1"]["mlp"]["w_in_values"])
+    w3 = np.asarray(params["params"]["layer_3"]["mlp"]["w_in_values"])
+    assert not np.array_equal(w1, w3)
+
+    y = model.apply(params, x)
+    assert np.isfinite(np.asarray(y)).all()
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    for i in (1, 3):
+        gv = np.asarray(g["params"][f"layer_{i}"]["mlp"]["w_in_values"])
+        assert np.isfinite(gv).all() and np.abs(gv).sum() > 0
+    g0 = np.asarray(
+        g["params"]["layer_0"]["mlp"]["to_4h"]["kernel"])
+    assert np.abs(g0).sum() > 0
+
+    # moe_every without a module is a clear error
+    bad = SparseTransformer.from_masks(
+        masks, num_layers=2, hidden_size=h, num_heads=2,
+        ffn_hidden_size=f, moe_every=2)
+    with pytest.raises(ValueError, match="no moe module"):
+        bad.init(jax.random.PRNGKey(0), x)
+
+    # serving decoders reject MoE models
+    from sputnik_tpu.models.serving import SparseDecoder
+    with pytest.raises(ValueError, match="training-side"):
+        SparseDecoder(model, s_max=32, bk=8)
+
+
+def test_moe_transformer_ep_sharded():
+    """ep-sharded MoE inside the transformer on the 8-device mesh equals
+    the unsharded model (same init seed -> same params)."""
+    import jax
+    from jax.sharding import Mesh
+    from sputnik_tpu.models.transformer import SparseTransformer
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    rng = np.random.RandomState(1)
+    b, s, h, f = 2, 16, 32, 48
+    masks = np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                            (b, s, s)).copy()
+    topo_in, topo_out = _topos(rng)
+    x = jnp.asarray(rng.randn(b, s, h).astype(np.float32))
+
+    def build(mesh):
+        moe = SparseMoE(topo_in=topo_in, topo_out=topo_out,
+                        num_experts=4, top_k=1, mesh=mesh, axis="ep")
+        return SparseTransformer.from_masks(
+            masks, num_layers=2, hidden_size=h, num_heads=2,
+            ffn_hidden_size=f, use_residual=True, use_layernorm=True,
+            activation="gelu", moe=moe, moe_every=2)
+
+    m1 = build(None)
+    p = m1.init(jax.random.PRNGKey(0), x)
+    y1 = m1.apply(p, x)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("ep",))
+    m2 = build(mesh)
+    y2 = m2.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               atol=1e-5)

@@ -22,6 +22,7 @@ EXAMPLES = [
     ("train_sparse_transformer.py", ["--small", "--steps", "3"]),
     ("dynamic_sparse_training.py", ["--small"]),
     ("serve_speculative.py", ["--small"]),
+    ("train_moe_transformer.py", ["--small", "--steps", "4"]),
 ]
 
 

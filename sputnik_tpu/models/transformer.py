@@ -107,6 +107,12 @@ class SparseCoreAttention(nn.Module):
     layout: str = "flash"
     flash_block: int = 1024
     flash_block_k: int = 0      # 0 -> auto (see flash_tiles docstring)
+    # "bf16": stream q/k/v to the flash kernel as bf16 on real TPUs
+    # (~15% measured at s=8192; fwd numerically identical — the MXU
+    # truncates f32 operands to bf16 passes anyway — but backward
+    # COTANGENTS are then bf16 too, the standard mixed-precision
+    # training trade). Opt-in; None keeps the operands' dtype.
+    flash_stream: Optional[str] = None
 
     def _panel_spec(self, bm=128, bk=128):
         return cached_batched_spec(self.mask_topology, self.num_heads,
@@ -148,8 +154,14 @@ class SparseCoreAttention(nn.Module):
         q3, k3, v3 = fold(q), fold(k), fold(v)
         scale = 1.0 / float(np.sqrt(hd))
         if layout == "flash":
+            from ..ops._common import on_tpu
             from ..ops.fused_attention import (fused_sparse_attention,
                                                warm_flash_meta)
+
+            if self.flash_stream == "bf16" and on_tpu():
+                q3 = q3.astype(jnp.bfloat16)
+                k3 = k3.astype(jnp.bfloat16)
+                v3 = v3.astype(jnp.bfloat16)
 
             blk, blk_k = flash_tiles(s, self.flash_block,
                                      self.flash_block_k)
@@ -187,6 +199,7 @@ class SparseSelfAttention(nn.Module):
     num_heads: int
     num_kv_heads: Optional[int] = None
     attention_layout: str = "flash"
+    flash_stream: Optional[str] = None   # "bf16" -> stream q/k/v on TPU
 
     @nn.compact
     def __call__(self, x):
@@ -219,6 +232,7 @@ class SparseSelfAttention(nn.Module):
         ctx = SparseCoreAttention(
             mask_topology=self.mask_topology, num_heads=self.num_heads,
             layout=self.attention_layout,
+            flash_stream=self.flash_stream,
         )(q, k, v)
         return nn.Dense(self.hidden_size, name="dense")(ctx)
 
@@ -256,6 +270,7 @@ class TransformerLayer(nn.Module):
     use_residual: bool = False
     use_layernorm: bool = False
     attention_layout: str = "flash"
+    flash_stream: Optional[str] = None
     # Mixture-of-Experts FFN (Switch/Mixtral-style): when ``moe`` is a
     # SparseMoE *module instance* (hashable flax dataclass), it replaces
     # the dense-in/dense-out MLP — sparse expert FFNs behind a router,
@@ -274,6 +289,7 @@ class TransformerLayer(nn.Module):
             num_heads=self.num_heads,
             num_kv_heads=self.num_kv_heads,
             attention_layout=self.attention_layout,
+            flash_stream=self.flash_stream,
             name="self_attention",
         )(attn_in)
         x = x + attn if self.use_residual else attn
@@ -321,6 +337,7 @@ class SparseTransformer(nn.Module):
     use_residual: bool = False
     use_layernorm: bool = False
     attention_layout: str = "flash"
+    flash_stream: Optional[str] = None
     remat: bool = False
     # Interleaved MoE (Switch-style): every ``moe_every``-th layer's MLP
     # is replaced by ``moe`` (a SparseMoE instance — sparse expert FFNs
@@ -357,6 +374,7 @@ class SparseTransformer(nn.Module):
                 use_residual=self.use_residual,
                 use_layernorm=self.use_layernorm,
                 attention_layout=self.attention_layout,
+                flash_stream=self.flash_stream,
                 moe=self.moe if is_moe else None,
                 name=f"layer_{i}",
             )(x)

@@ -39,8 +39,9 @@ import numpy as np
 
 from . import profiling
 
-__all__ = ["sweep", "best_spmm_tiles", "cache_path", "shape_class",
-           "SPMM_TILE_CANDIDATES"]
+__all__ = ["sweep", "best_spmm_tiles", "best_flash_tiles", "cache_path",
+           "shape_class", "SPMM_TILE_CANDIDATES",
+           "FLASH_TILE_CANDIDATES"]
 
 # candidate (bm, bk) panel tiles — the measured winners across the
 # RESULTS.md sweeps plus their neighbours; bn is derived per call width
@@ -177,5 +178,66 @@ def best_spmm_tiles(topo, *, dtype=None, q: int = 1024,
                                  iters_lo=5, iters_hi=15, repeats=2)
 
     best, _ = sweep("spmm", key, list(candidates), time_candidate,
+                    force=force)
+    return best
+
+
+FLASH_TILE_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (512, 512), (512, 1024), (1024, 1024), (1024, 512), (2048, 1024),
+    (256, 512),
+)
+
+
+def best_flash_tiles(mask_topology, heads: int, *, backward: bool = True,
+                     hd: int = 64,
+                     candidates: Iterable = FLASH_TILE_CANDIDATES,
+                     force: bool = False) -> Tuple[int, int]:
+    """Measured-best ``(bm, bk)`` for the fused sparse-flash attention on
+    this mask family (cached per device + shape class). ``backward=True``
+    optimizes the full fwd+grad (training); False, forward only
+    (prefill/serving). Off-TPU falls back to the hand-measured
+    ``transformer.flash_tiles`` default. Pass the result as
+    ``SparseTransformer(flash_block=bm, flash_block_k=bk)`` (or the
+    corresponding ``SparseCoreAttention`` fields)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.transformer import flash_tiles
+    from ..ops import batched_panel as bp
+    from ..ops.fused_attention import fused_sparse_attention
+
+    mt = mask_topology
+    s = mt.m
+    if jax.devices()[0].platform != "tpu":
+        return flash_tiles(s)
+
+    t0 = mt.topologies[0]
+    density = t0.nnz / max(t0.m * t0.n, 1)
+    key = (f"s{int(_bucket(s))}_h{heads}_hd{hd}"
+           f"_d{_bucket(max(density, 1e-4))}"
+           f"_{'train' if backward else 'fwd'}")
+    rng = np.random.RandomState(0)
+    R = mt.b * heads
+    mk = lambda: jnp.asarray(                              # noqa: E731
+        rng.randn(R, s, hd).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+
+    def time_candidate(cand):
+        bm, bk = cand
+        if bm > 2 * s or bk > 2 * s:
+            return None
+        spec = bp.BatchedPanelSpec.from_many_mask(mt, heads=heads,
+                                                  bm=bm, bk=bk)
+        if backward:
+            fn = jax.jit(jax.grad(lambda a, b, c: jnp.sum(
+                fused_sparse_attention(spec, a, b, c) ** 2),
+                argnums=(0, 1, 2)))
+        else:
+            fn = jax.jit(
+                lambda a, b, c: fused_sparse_attention(spec, a, b, c))
+        return profiling.measure(fn, q, k, v, iters_lo=5, iters_hi=15,
+                                 repeats=2)
+
+    best, _ = sweep("flash", key, list(candidates), time_candidate,
                     force=force)
     return best

@@ -45,6 +45,7 @@ __all__ = [
     "remap_values",
     "cubic_sparsity_schedule",
     "rigl_update_linear",
+    "rigl_update_moe",
     "dense_linear_grad",
 ]
 
@@ -280,3 +281,85 @@ def rigl_update_linear(layer, variables, dense_grad, *,
             for m_ in opt_values
         ]
     return new_layer, new_vars, new_opt
+
+
+def rigl_update_moe(moe, variables, dense_grads_in, dense_grads_out, *,
+                    fraction: float = 0.1, opt_values=None):
+    """One RigL connectivity update of a ``SparseMoE``'s SHARED expert
+    topologies at constant ``nnz``.
+
+    The expert bank shares ONE topology per projection with per-expert
+    values (the reference's replicated-values semantics), so the
+    drop/grow criteria AGGREGATE over experts: drop the connections with
+    the smallest mean |value| across experts, grow the inactive
+    positions with the largest mean |dense grad| (``dense_grads_*``:
+    per-expert stacks ``[E, m, n]`` or pre-aggregated ``[m, n]``).
+
+    Values are panel-layout (``models/moe.py``); they round-trip through
+    the dtype-preserving host converters per expert, and — as with
+    :func:`rigl_update_linear` — ``nnz`` and ``nnz_pad`` are held
+    constant so every value-shaped buffer (params, Adam moments via
+    ``opt_values``) keeps its shape. Returns ``(new_moe, new_variables,
+    new_opt_values)``; re-jit against ``new_moe`` (a topology swap is a
+    retrace, so update periodically, not per step).
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    from ..models.moe import SparseMoE, _bank_spec  # noqa: F401
+
+    def agg(g, topo):
+        g = np.asarray(g, np.float32)
+        if g.ndim == 3:
+            g = np.abs(g).mean(axis=0)
+        if g.shape != (topo.m, topo.n):
+            raise ValueError(f"dense grad shape {g.shape} != "
+                             f"{(topo.m, topo.n)}")
+        return g
+
+    p = variables["params"]
+    E = moe.num_experts
+    out_params = dict(p)
+    new_topos = {}
+    new_opt = list(opt_values) if opt_values is not None else None
+
+    for which, gd in (("in", dense_grads_in), ("out", dense_grads_out)):
+        topo = moe.topo_in if which == "in" else moe.topo_out
+        spec = _bank_spec(topo, E)
+        name = f"w_{which}_values"
+        flat = moe.flat_values(p[name], which)          # [E, nnz_pad]
+        mean_mag = np.abs(flat[:, : topo.nnz]).mean(axis=0)
+        # drop smallest mean |value|; grow largest aggregated |grad|
+        pseudo_vals = np.zeros(topo.nnz_pad, np.float32)
+        pseudo_vals[: topo.nnz] = mean_mag
+        new_topo, _ = rigl_update(topo, pseudo_vals, agg(gd, topo),
+                                  fraction=fraction)
+        new_topos[which] = new_topo
+        new_spec_bm, new_spec_bk = spec.bm, spec.bk
+        remapped = np.stack([
+            remap_values(topo, new_topo, flat[e]) for e in range(E)])
+        from ..ops import panel_api as PA
+
+        out_params[name] = np.stack([
+            PA.values_to_panel_np(new_topo, v, new_spec_bm, new_spec_bk)
+            for v in remapped])
+        if new_opt is not None:
+            for j, m_ in enumerate(new_opt):
+                leaf = m_.get(name) if isinstance(m_, dict) else None
+                if leaf is None:
+                    continue
+                flat_m = moe.flat_values(leaf, which)
+                rm = np.stack([
+                    remap_values(topo, new_topo, flat_m[e])
+                    for e in range(E)])
+                m2 = dict(m_)
+                m2[name] = np.stack([
+                    PA.values_to_panel_np(new_topo, v, new_spec_bm,
+                                          new_spec_bk) for v in rm])
+                new_opt[j] = m2
+
+    new_moe = _dc.replace(moe, topo_in=new_topos["in"],
+                          topo_out=new_topos["out"])
+    new_vars = dict(variables, params=out_params)
+    return new_moe, new_vars, new_opt

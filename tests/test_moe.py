@@ -345,3 +345,34 @@ def test_moe_transformer_ep_sharded():
     y2 = m2.apply(p, x)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
                                atol=1e-5)
+
+
+def test_moe_lm_trains():
+    """SparseLM with an MoE-interleaved core: token-level fwd + grad."""
+    import jax
+    from sputnik_tpu.models.lm import SparseLM
+
+    rng = np.random.RandomState(2)
+    b, s, h, f, V = 2, 16, 32, 48, 64
+    masks = np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                            (b, s, s)).copy()
+    topo_in, topo_out = _topos(rng)
+    moe = SparseMoE(topo_in=topo_in, topo_out=topo_out, num_experts=4,
+                    top_k=2)
+    lm = SparseLM.from_masks(
+        masks, vocab_size=V, num_layers=2, hidden_size=h, num_heads=2,
+        ffn_hidden_size=f, use_residual=True, use_layernorm=True,
+        activation="gelu", moe=moe, moe_every=2)
+    toks = jnp.asarray(rng.randint(0, V, (b, s)))
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    logits = lm.apply(params, toks)
+    assert logits.shape == (b, s, V)
+
+    def loss(p):
+        lg = lm.apply(p, toks)
+        return -jnp.mean(jax.nn.log_softmax(lg)[..., 0])
+
+    g = jax.grad(loss)(params)
+    gv = np.asarray(
+        g["params"]["core"]["layer_1"]["mlp"]["w_in_values"])
+    assert np.isfinite(gv).all() and np.abs(gv).sum() > 0

@@ -8,6 +8,7 @@ through the updated topologies.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import sputnik_tpu as st
@@ -214,3 +215,59 @@ def test_rigl_update_linear_end_to_end(layout):
         losses.append(float(l))
     assert losses[-1] < float(loss0)          # training keeps improving
     assert np.isfinite(losses).all()
+
+
+def test_rigl_update_moe_shared_topology():
+    """MoE connectivity update: shared expert topologies evolve on
+    aggregated criteria; per-expert panel params + moments keep shapes;
+    surviving positions carry their values; the new module applies."""
+    import jax
+    from sputnik_tpu.models.moe import SparseMoE
+    from sputnik_tpu.training.sparsity import rigl_update_moe
+
+    rng = np.random.RandomState(0)
+    h, f, E = 32, 48, 4
+    ti = st.SparseTopology.from_dense_mask(
+        (rng.rand(f, h) < 0.4).astype(np.float32))
+    to = st.SparseTopology.from_dense_mask(
+        (rng.rand(h, f) < 0.4).astype(np.float32))
+    moe = SparseMoE(topo_in=ti, topo_out=to, num_experts=E, top_k=1)
+    x = jnp.asarray(rng.randn(2, 8, h).astype(np.float32))
+    variables = moe.init(jax.random.PRNGKey(0), x)
+
+    gd_in = rng.randn(E, f, h).astype(np.float32)
+    gd_out = rng.randn(h, f).astype(np.float32)      # pre-aggregated form
+    mu = {k: np.asarray(v) * 0 + 1.0
+          for k, v in variables["params"].items()
+          if k.startswith("w_")}
+    new_moe, new_vars, (mu2,) = rigl_update_moe(
+        moe, variables, gd_in, gd_out, fraction=0.25, opt_values=[mu])
+
+    assert new_moe.topo_in.nnz == ti.nnz
+    assert new_moe.topo_in.nnz_pad == ti.nnz_pad
+    assert new_moe.topo_out.nnz == to.nnz
+    p0, p1 = variables["params"], new_vars["params"]
+    assert p1["w_in_values"].shape == p0["w_in_values"].shape
+    assert p1["w_out_values"].shape == p0["w_out_values"].shape
+
+    # surviving positions carry their per-expert values
+    old_flat = moe.flat_values(p0["w_in_values"], "in")
+    new_flat = new_moe.flat_values(p1["w_in_values"], "in")
+    okeys = (ti.row_ids[: ti.nnz].astype(np.int64) * ti.n
+             + ti.column_indices[: ti.nnz])
+    nt = new_moe.topo_in
+    nkeys = (nt.row_ids[: nt.nnz].astype(np.int64) * nt.n
+             + nt.column_indices[: nt.nnz])
+    common, oi, nix = np.intersect1d(okeys, nkeys, return_indices=True)
+    assert len(common) > 0.5 * ti.nnz
+    np.testing.assert_allclose(new_flat[:, nix], old_flat[:, oi],
+                               rtol=1e-6)
+    # moments remapped: carried slots keep 1.0, grown slots are 0
+    mu_flat = new_moe.flat_values(mu2["w_in_values"], "in")
+    np.testing.assert_allclose(mu_flat[:, nix], 1.0, rtol=1e-6)
+    grown = np.setdiff1d(np.arange(nt.nnz), nix)
+    if len(grown):
+        np.testing.assert_allclose(mu_flat[:, grown], 0.0, atol=1e-9)
+
+    y = new_moe.apply(new_vars, x)
+    assert np.isfinite(np.asarray(y)).all()

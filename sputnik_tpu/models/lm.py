@@ -228,13 +228,17 @@ class LMServer:
                  prompt_lengths=None, reduce_fn=None, caches=None):
         """Generate ``n_new`` tokens after prompt ``tokens [b, P]``.
 
-        Returns ``(new_tokens [b, n_new], caches)``. Jits as one program
-        (prefill + a ``lax.scan`` of embed -> decode -> head -> sample);
-        sampling params are static. ``key`` is required unless greedy.
-        EXCEPTION: a PAGED server (``n_pages=...``) must call this
-        eagerly — page reservation is a host scheduler step
-        (``np.asarray`` on cache state), so an outer ``jax.jit`` raises
-        a ConcretizationTypeError; the decode scan inside still jits.
+        Returns ``(new_tokens [b, n_new], caches)``. Sampling params are
+        static. ``key`` is required unless greedy.
+
+        Eager calls run ONE jit dispatch: page reservation (a host
+        scheduler step, paged servers) happens up front, then the whole
+        prefill + decode scan runs through a memoized jitted core —
+        an eager serving loop previously re-traced the program every
+        call (~seconds of host Python at 6L/h=1024). Called inside an
+        existing trace (the tensor-parallel wrapper's shard_map, or a
+        user jit), the body inlines as before — pre-reserve the pages
+        yourself then (``caches=``), as ``TPLMServer`` does.
 
         ``eos_id``: sequences that emit it are finished — every later
         position holds ``pad_id`` (the standard uniform-batch behaviour:
@@ -260,6 +264,48 @@ class LMServer:
             raise ValueError("sampling (temperature != 0) needs a PRNG key")
         key = key if key is not None else jax.random.PRNGKey(0)
 
+        from ..ops import _common
+
+        if caches is None:
+            caches = self.init_caches(tokens.shape[0])
+            if hasattr(self.decoder, "reserve") and _common.trace_clean():
+                # paged pool: prompt + decode pages in ONE host
+                # reservation, before any trace (ensure_pages is
+                # idempotent, so the eager prefill's own reserve
+                # becomes a no-op)
+                caches = self.decoder.reserve(
+                    caches, tokens.shape[1] + n_new)
+
+        statics = (n_new, temperature, top_k, top_p, eos_id, pad_id,
+                   repetition_penalty, prompt_lengths is None,
+                   jax.tree.structure(tuple(caches)))
+        if reduce_fn is None and _common.trace_clean():
+            jits = getattr(self, "_gen_jits", None)
+            if jits is None:
+                jits = self._gen_jits = {}
+            fn = jits.get(statics)
+            if fn is None:
+                def run(p, t, c, k2, pl):
+                    return self._generate_impl(
+                        p, t, n_new, k2, temperature=temperature,
+                        top_k=top_k, top_p=top_p, eos_id=eos_id,
+                        pad_id=pad_id,
+                        repetition_penalty=repetition_penalty,
+                        prompt_lengths=pl, reduce_fn=None, caches=c)
+
+                fn = jax.jit(run, static_argnums=())
+                jits[statics] = fn
+            return fn(params, tokens, tuple(caches), key, prompt_lengths)
+        return self._generate_impl(
+            params, tokens, n_new, key, temperature=temperature,
+            top_k=top_k, top_p=top_p, eos_id=eos_id, pad_id=pad_id,
+            repetition_penalty=repetition_penalty,
+            prompt_lengths=prompt_lengths, reduce_fn=reduce_fn,
+            caches=tuple(caches))
+
+    def _generate_impl(self, params, tokens, n_new, key, *, temperature,
+                       top_k, top_p, eos_id, pad_id, repetition_penalty,
+                       prompt_lengths, reduce_fn, caches):
         b = tokens.shape[0]
         if repetition_penalty != 1.0:
             # token-presence mask [b, vocab], seeded from the prompt
@@ -287,23 +333,16 @@ class LMServer:
 
         # prefill at the activation level and head ONLY the last position
         # (self.prefill scores all P positions — a [b, P, vocab] logits
-        # tensor nobody reads here, ~GBs at long prompts / big vocabs)
-        # ``caches``: externally-prepared caches (the tensor-parallel
-        # wrapper pre-reserves paged pools on the host and runs this
-        # whole function inside shard_map) — then NO host scheduling
-        # happens here.
-        ext_caches = caches is not None
-        if caches is None:
-            caches = self.init_caches(tokens.shape[0])
+        # tensor nobody reads here, ~GBs at long prompts / big vocabs).
+        # ``caches`` arrive prepared: pages (paged pools) were reserved
+        # by generate()'s host phase, or by the caller (the tensor-
+        # parallel wrapper) — no host scheduling happens in here, so the
+        # whole body traces.
         p, core_params = self._split(params)
         y, caches = self.decoder.prefill(
             core_params, self._embed(p, tokens),
             caches, reduce_fn=reduce_fn,
             lengths=prompt_lengths)
-        if hasattr(self.decoder, "reserve") and not ext_caches:
-            # paged pool: allocate every decode page before the scan
-            # (host scheduler step — runs once, outside the traced loop)
-            caches = self.decoder.reserve(caches, n_new)
         if prompt_lengths is None:
             last = y[:, -1:]
             step = self.decode_step

@@ -266,15 +266,27 @@ class LMServer:
 
         from ..ops import _common
 
+        paged = hasattr(self.decoder, "reserve")
+        ext_caches = caches is not None
         if caches is None:
             caches = self.init_caches(tokens.shape[0])
-            if hasattr(self.decoder, "reserve") and _common.trace_clean():
-                # paged pool: prompt + decode pages in ONE host
-                # reservation, before any trace (ensure_pages is
-                # idempotent, so the eager prefill's own reserve
-                # becomes a no-op)
-                caches = self.decoder.reserve(
-                    caches, tokens.shape[1] + n_new)
+        if paged and _common.trace_clean():
+            # paged pool: prompt + decode pages in ONE host reservation,
+            # before any trace. Runs for USER-PASSED caches too —
+            # ensure_pages is idempotent (fills only holes), and inside
+            # the jitted core the prefill CANNOT reserve (it sees
+            # tracers), so skipping here would scatter the prompt to the
+            # dump page and decode silently wrong tokens.
+            caches = self.decoder.reserve(caches, tokens.shape[1] + n_new)
+        elif paged and not ext_caches:
+            # in-trace paged generate with no caller-prepared caches:
+            # page reservation is host-only — fail loudly (the old eager
+            # API raised ConcretizationTypeError here; silence would be
+            # dump-page corruption)
+            raise ValueError(
+                "paged generate inside a trace needs pre-reserved "
+                "caches= (reserve(init_caches(b), P + n_new) on the "
+                "host first, as TPLMServer does)")
 
         statics = (n_new, temperature, top_k, top_p, eos_id, pad_id,
                    repetition_penalty, prompt_lengths is None,
@@ -295,6 +307,8 @@ class LMServer:
 
                 fn = jax.jit(run, static_argnums=())
                 jits[statics] = fn
+                while len(jits) > 16:
+                    jits.pop(next(iter(jits)))
             return fn(params, tokens, tuple(caches), key, prompt_lengths)
         return self._generate_impl(
             params, tokens, n_new, key, temperature=temperature,

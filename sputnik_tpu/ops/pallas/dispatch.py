@@ -126,10 +126,13 @@ def _values_panel(spec, values, stream_dt=None):
     return panel
 
 
-# id(dense) -> (dense, cast). Same identity-keyed FIFO discipline as the
-# panel cache: the eager flat path's dense operand is as cacheable by
-# buffer identity as the values were (a fixed activation/feature matrix
-# re-fed per call paid a fresh f32->bf16 cast every time).
+# id(dense) -> (dense, cast). Same identity-keyed discipline as the
+# panel cache, but dense operands are usually TRANSIENT activations —
+# a big slot count would pin pairs of large buffers in HBM long after
+# the caller dropped them (the panel cache holds long-lived weights,
+# where pinning is the point). Two slots cover the steady-state
+# reuse pattern (same operand across back-to-back calls).
+_CAST_CACHE_SLOTS = 2
 _cast_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
 
 
@@ -145,7 +148,7 @@ def _cast_cached(dense, stream_dt):
         return hit[1]
     cast = dense.astype(stream_dt)
     _cast_cache[key] = (dense, cast)
-    while len(_cast_cache) > _PANEL_CACHE_SLOTS:
+    while len(_cast_cache) > _CAST_CACHE_SLOTS:
         _cast_cache.popitem(last=False)
     return cast
 

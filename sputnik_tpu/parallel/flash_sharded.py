@@ -54,43 +54,20 @@ class ShardedFlashSpec:
         self.m_pad_loc, self.n_pad = v0.m_pad, v0.n_pad
 
         fmetas = [fs.build_flash_bwd_meta([v]) for v in views]
-        # uniform max_bpr / max_bpc across shards
-        self.max_bpr = max(m["max_bpr"] for m in fmetas)
-        self.max_bpc = max(m["max_bpc"] for m in fmetas)
-
-        def stack2(key, per_row, maxlen):
-            """Stack [1, rows*len_d] arrays reshaped per row to padded len."""
-            outs = []
-            for m in fmetas:
-                a = m[key][0]
-                rows = per_row
-                len_d = a.shape[0] // rows
-                pad = np.zeros((rows, maxlen), a.dtype)
-                pad[:, :len_d] = a.reshape(rows, len_d)
-                if len_d < maxlen:
-                    pad[:, len_d:] = pad[:, len_d - 1: len_d]
-                outs.append(pad.reshape(-1))
-            return np.stack(outs)
-
-        self.block_cols = stack2("block_cols", self.mb, self.max_bpr)
-        self.mask_slot = stack2("mask_slot", self.mb, self.max_bpr)
-        self.is_partial_ = np.stack([
-            _pad_flat(m["is_partial"][0], self.mb, self.max_bpr, zero=True)
-            for m in fmetas])
-        self.nblocks = np.stack([m["nblocks"][0] for m in fmetas])
-
-        self.t_src_i = stack2("t_src_i", self.kb, self.max_bpc)
-        self.t_mask_slot = stack2("t_mask_slot", self.kb, self.max_bpc)
-        self.t_is_partial = np.stack([
-            _pad_flat(m["t_is_partial"][0], self.kb, self.max_bpc, zero=True)
-            for m in fmetas])
-        self.t_nblocks = np.stack([m["t_nblocks"][0] for m in fmetas])
-
-        npart = max(m["pmask"].shape[1] for m in fmetas)
-        self.pmask = np.zeros(
-            (part.ndev, npart, bm, bk), np.float32)
-        for d, m in enumerate(fmetas):
-            self.pmask[d, : m["pmask"].shape[1]] = m["pmask"][0]
+        # ONE stacking implementation (shared with the overlap split's
+        # interior/halo metadata — a padding-convention change must not
+        # be able to diverge between the base spec and the split)
+        st = _stack_fmetas(fmetas, self.mb, self.kb)
+        self.max_bpr, self.max_bpc = st["max_bpr"], st["max_bpc"]
+        self.block_cols = st["block_cols"]
+        self.mask_slot = st["mask_slot"]
+        self.is_partial_ = st["is_partial"]
+        self.nblocks = st["nblocks"]
+        self.t_src_i = st["t_src_i"]
+        self.t_mask_slot = st["t_mask_slot"]
+        self.t_is_partial = st["t_is_partial"]
+        self.t_nblocks = st["t_nblocks"]
+        self.pmask = st["pmask"]
 
     def halo_extents(self, n_loc: int):
         """(lo, hi): max KEY rows any device's topology shard reaches
@@ -133,13 +110,6 @@ class ShardedFlashSpec:
 
     def __eq__(self, other):
         return self is other
-
-
-def _pad_flat(a, rows, maxlen, zero=False):
-    len_d = a.shape[0] // rows
-    pad = np.zeros((rows, maxlen), a.dtype)
-    pad[:, :len_d] = a.reshape(rows, len_d)
-    return pad.reshape(-1)
 
 
 def _smap(spec, fn, in_specs, out_specs):
@@ -334,15 +304,26 @@ def flash_attention_sharded(spec: ShardedFlashSpec, q_sh, k, v,
 # ---------------------------------------------------------------------------
 
 
-def _assemble_kv(spec, x_sh, n_loc, plan):
+def _assemble_kv(spec, x_sh, n_loc, plan, *, include_own=True):
     """Differentiable halo assembly: x_sh [ndev, R_kv, n_loc, hd_pad]
-    key-sharded -> globally-indexed [ndev, R_kv, n_pad, hd_pad] holding
-    each device's own band plus its (lo, hi) halo rows. ``plan=None``
-    falls back to all_gather (full-span topology)."""
+    key-sharded -> globally-indexed [ndev, R_kv, n_pad, hd_pad].
+
+    ``include_own=True``: each device's own band is written too (the
+    monolithic path's full buffer; ``plan=None`` falls back to
+    all_gather for full-span topologies). ``include_own=False``: ONLY
+    the received halo rows are written (the overlap split's buffer —
+    the interior kernel reads the local shard directly, so every write
+    here is a ppermute landing and the transfers have no kernel
+    dependency). One body so the send-slice / wraparound-to-scratch
+    arithmetic cannot diverge between the two paths. (sharded_ops has
+    the 2-D dense-operand twin — rank differences keep them separate.)"""
     x = spec.axis
     ndev = spec.part.ndev
 
     if plan is None:
+        if not include_own:
+            raise ValueError("halo-only assembly needs a ragged plan")
+
         def local_g(xl):
             full = jax.lax.all_gather(xl[0], x, axis=1, tiled=True)
             R_kv, n_full, hd_pad = full.shape
@@ -363,7 +344,9 @@ def _assemble_kv(spec, x_sh, n_loc, plan):
         # + n_loc scratch rows absorb wrapped edge-device writes (their
         # metadata never reads them; see sharded_ops._halo_assemble)
         buf = jnp.zeros((R_kv, spec.n_pad + n_loc, hd_pad), x_loc.dtype)
-        buf = jax.lax.dynamic_update_slice(buf, x_loc, (z, me * n_loc, z))
+        if include_own:
+            buf = jax.lax.dynamic_update_slice(buf, x_loc,
+                                               (z, me * n_loc, z))
         scratch = spec.n_pad
         for k in range(1, steps_lo + 1):
             take = min(n_loc, lo - (k - 1) * n_loc)
@@ -678,41 +661,8 @@ def _ov_dev_meta(spec, n_loc):
 
 
 def _assemble_halo(spec, x_sh, n_loc, plan):
-    """Differentiable HALO-ONLY assembly: like ``_assemble_kv`` but the
-    own band is NOT written (the interior kernel reads the local shard
-    directly) — the buffer holds only the received halo rows, so every
-    write it contains is a ppermute landing."""
-    x = spec.axis
-    ndev = spec.part.ndev
-    lo, hi = plan
-    steps_lo, steps_hi = -(-lo // n_loc), -(-hi // n_loc)
-
-    def local(xl):
-        x_loc = xl[0]                        # [R_kv, n_loc, hd_pad]
-        R_kv, _, hd_pad = x_loc.shape
-        me = jax.lax.axis_index(x)
-        z = jnp.int32(0)
-        buf = jnp.zeros((R_kv, spec.n_pad + n_loc, hd_pad), x_loc.dtype)
-        scratch = spec.n_pad
-        for k in range(1, steps_lo + 1):
-            take = min(n_loc, lo - (k - 1) * n_loc)
-            send = x_loc[:, n_loc - take:, :]
-            recv = jax.lax.ppermute(
-                send, x, [(j, (j + k) % ndev) for j in range(ndev)])
-            start = (me - k) * n_loc + (n_loc - take)
-            start = jnp.where(me >= k, start, scratch)
-            buf = jax.lax.dynamic_update_slice(buf, recv, (z, start, z))
-        for k in range(1, steps_hi + 1):
-            take = min(n_loc, hi - (k - 1) * n_loc)
-            send = x_loc[:, :take, :]
-            recv = jax.lax.ppermute(
-                send, x, [(j, (j - k) % ndev) for j in range(ndev)])
-            start = (me + k) * n_loc
-            start = jnp.where(me + k < ndev, start, scratch)
-            buf = jax.lax.dynamic_update_slice(buf, recv, (z, start, z))
-        return buf[:, : spec.n_pad][None]
-
-    return _smap(spec, local, in_specs=P(x), out_specs=P(x))(x_sh)
+    """Halo-ONLY assembly (the overlap split): see ``_assemble_kv``."""
+    return _assemble_kv(spec, x_sh, n_loc, plan, include_own=False)
 
 
 def _ov_merge(out_i, m_i, l_i, out_h, m_h, l_h):

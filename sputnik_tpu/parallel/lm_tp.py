@@ -160,4 +160,6 @@ class TPLMServer:
                 body, mesh=tpd.mesh, in_specs=tuple(in_specs),
                 out_specs=out_specs, check_vma=False))
             jits[ck] = fn
+            while len(jits) > 16:
+                jits.pop(next(iter(jits)))
         return fn(sparams["core_tp"], sparams["rest"], tokens, key, *extra)

@@ -274,7 +274,10 @@ class TPDecoder:
         jits = getattr(self, "_tp_jits", None)
         if jits is None:
             jits = self._tp_jits = {}
-        fn = jits.get(ck)
+        try:
+            fn = jits.get(ck)
+        except TypeError:          # unhashable kwarg value (jax Array…)
+            ck, fn = None, None
         if fn is None:
             def f(sp, x_, cs):
                 return method(self._local_params(sp), x_, cs,
@@ -282,7 +285,13 @@ class TPDecoder:
 
             fn = jax.jit(self._shard(f, sparams, caches, 1,
                                      y_batch_dim=y_batch_dim))
-            jits[ck] = fn
+            if ck is not None:
+                jits[ck] = fn
+                # per-call callables (decode_loop's next_input lambdas)
+                # legitimately need distinct programs (the closure bakes
+                # in statically) but must not grow the memo unboundedly
+                while len(jits) > 32:
+                    jits.pop(next(iter(jits)))
         return fn(sparams, x, caches)
 
     def prefill(self, sparams, x, caches):

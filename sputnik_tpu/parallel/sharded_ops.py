@@ -396,21 +396,28 @@ def _halo_steps(lo: int, hi: int, n_loc: int):
     return -(-lo // n_loc), -(-hi // n_loc)
 
 
-def _halo_assemble(spec, d_loc, n_loc, q_pad, lo, hi):
+def _halo_assemble(spec, d_loc, n_loc, q_pad, lo, hi, *,
+                   include_own=True):
     """Inside ``shard_map``: build the globally-indexed ``[n_pad + n_loc,
-    q_pad]`` dense buffer holding this device's own shard plus only the
+    q_pad]`` dense buffer holding this device's own shard (unless
+    ``include_own=False`` — the overlap split's halo-only buffer: the
+    interior pass reads the local shard directly, so every write here is
+    a ppermute landing with no kernel dependency) plus only the
     ``lo``/``hi`` halo rows, received via *sliced* ``ppermute`` shifts —
     comm volume is exactly ``lo + hi`` rows per device instead of the
     ``(ndev-1) * n_loc`` of a dense all_gather. The trailing ``n_loc``
     scratch rows absorb wrapped edge-device writes (their metadata never
     reads them). Built from differentiable ops only, so the backward pass
-    is ``jax.vjp`` of this function (reverse ppermutes, same volume)."""
+    is ``jax.vjp`` of this function (reverse ppermutes, same volume).
+    One body for both variants so the send-slice / wraparound arithmetic
+    cannot diverge (flash_sharded._assemble_kv is the 3-D K/V twin)."""
     x = spec.axis
     ndev = spec.part.ndev
     me = jax.lax.axis_index(x)
     buf = jnp.zeros((spec.n_pad + n_loc, q_pad), d_loc.dtype)
-    buf = jax.lax.dynamic_update_slice(buf, d_loc,
-                                       (me * n_loc, jnp.int32(0)))
+    if include_own:
+        buf = jax.lax.dynamic_update_slice(buf, d_loc,
+                                           (me * n_loc, jnp.int32(0)))
     steps_lo, steps_hi = _halo_steps(lo, hi, n_loc)
     scratch = spec.n_pad
     for k in range(1, steps_lo + 1):
@@ -456,36 +463,9 @@ def _halo_plan(spec, n_loc):
 
 
 def _halo_assemble_only(spec, d_loc, n_loc, q_pad, lo, hi):
-    """Halo-ONLY assembly: :func:`_halo_assemble` without the own-band
-    write. Every row this buffer carries arrived via ppermute; the
-    interior kernel reads the local shard directly, so the transfers and
-    the interior MXU pass have no serializing dependency (the
-    comm/compute-overlap split — see sharded_spmm_halo)."""
-    x = spec.axis
-    ndev = spec.part.ndev
-    me = jax.lax.axis_index(x)
-    buf = jnp.zeros((spec.n_pad + n_loc, q_pad), d_loc.dtype)
-    steps_lo, steps_hi = _halo_steps(lo, hi, n_loc)
-    scratch = spec.n_pad
-    for k in range(1, steps_lo + 1):
-        take = min(n_loc, lo - (k - 1) * n_loc)
-        send = d_loc[n_loc - take:, :]
-        recv = jax.lax.ppermute(
-            send, x, [(j, (j + k) % ndev) for j in range(ndev)])
-        start = (me - k) * n_loc + (n_loc - take)
-        start = jnp.where(me >= k, start, scratch)
-        buf = jax.lax.dynamic_update_slice(buf, recv,
-                                           (start, jnp.int32(0)))
-    for k in range(1, steps_hi + 1):
-        take = min(n_loc, hi - (k - 1) * n_loc)
-        send = d_loc[:take, :]
-        recv = jax.lax.ppermute(
-            send, x, [(j, (j - k) % ndev) for j in range(ndev)])
-        start = (me + k) * n_loc
-        start = jnp.where(me + k < ndev, start, scratch)
-        buf = jax.lax.dynamic_update_slice(buf, recv,
-                                           (start, jnp.int32(0)))
-    return buf
+    """Halo-ONLY assembly (the overlap split): see ``_halo_assemble``."""
+    return _halo_assemble(spec, d_loc, n_loc, q_pad, lo, hi,
+                          include_own=False)
 
 
 def _ov_split_meta(spec, n_loc):

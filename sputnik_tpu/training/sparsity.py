@@ -148,8 +148,21 @@ def magnitude_prune(topo: SparseTopology, values, *,
         target = int(round(density * topo.m * topo.n))
         drop = nnz - target
         if drop < 0:
-            # growth is rigl_update's job; silently returning unchanged
-            # would hide a mis-ordered schedule (s_init/s_final swapped)
+            # growth is rigl_update's job. A mask-derived topology's
+            # actual density sits a few connections off the nominal
+            # schedule value (binomial nnz, round_to alignment) — that
+            # boundary case warns and no-ops; a REAL overshoot (a
+            # mis-ordered cubic schedule) still fails loudly.
+            import warnings
+
+            margin = max(topo.m, 16)          # ~one row of connections
+            if -drop <= margin:
+                warnings.warn(
+                    f"magnitude_prune target density {density} is "
+                    f"marginally above current "
+                    f"{nnz / (topo.m * topo.n):.4f}; no-op",
+                    stacklevel=2)
+                return topo, remap_values(topo, topo, values)
             raise ValueError(
                 f"requested density {density} exceeds current "
                 f"{nnz / (topo.m * topo.n):.4f}; magnitude_prune only "

@@ -274,3 +274,33 @@ def test_generate_serving_options_smoke(kw):
     # the final sampled token is returned but never decoded, so the
     # cache holds the prompt plus n_new - 1 generated tokens
     assert int(caches[0].kv_len[0]) == P + n_new - 1
+
+
+def test_paged_generate_user_caches_reserved():
+    """Eager paged generate with USER-passed caches must reserve their
+    pages in the host phase (inside the memoized jit the prefill cannot
+    allocate — unreserved tables would scatter the prompt to the dump
+    page and decode silently wrong tokens; code-review r4 finding)."""
+    import jax
+
+    b, P, V, n_new = 2, 128, 64, 4
+    masks = np.broadcast_to(np.tril(np.ones((P, P), np.float32)),
+                            (b, P, P)).copy()
+    lm = SparseLM.from_masks(
+        masks, vocab_size=V, num_layers=2, hidden_size=32, num_heads=2,
+        ffn_hidden_size=48, use_residual=True, use_layernorm=True,
+        activation="gelu")
+    rng = np.random.RandomState(0)
+    toks = jnp.asarray(rng.randint(0, V, (b, P)))
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    srv = LMServer(lm, n_pages=64, s_max=P + 128, bk=128,
+                   cache_dtype=jnp.float32)
+
+    ref, _ = srv.generate(params, toks, n_new)          # caches=None path
+    user_caches = srv.init_caches(b)                    # UNRESERVED
+    got, _ = srv.generate(params, toks, n_new, caches=user_caches)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # in-trace paged generate without prepared caches fails loudly
+    with pytest.raises(ValueError, match="pre-reserved"):
+        jax.jit(lambda p, t: srv.generate(p, t, n_new))(params, toks)

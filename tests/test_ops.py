@@ -307,3 +307,32 @@ def test_flat_api_mixed_dtype_grads():
     gsm = jax.grad(lambda v: jnp.sum(
         st.sparse_softmax(t, v).astype(jnp.float32)))(vals16)
     assert gsm.dtype == jnp.bfloat16
+
+
+def test_flat_dispatch_caches():
+    """Eager flat-path caches: prebuilt jitted closure reused per
+    (spec, dtypes); cast cache bounded at its small slot count (dense
+    operands are transient activations — pinning 8 pairs leaked HBM)."""
+    from sputnik_tpu.ops.pallas import dispatch
+
+    topo = st.SparseTopology.from_dense_mask(
+        (np.random.RandomState(0).rand(256, 256) < 0.3).astype(
+            np.float32))
+    spec = dispatch._flat_spec(topo)
+    assert dispatch._flat_spec(topo) is spec          # spec cached
+
+    f1 = dispatch._flat_fn(spec, None, jnp.float32, "none")
+    f2 = dispatch._flat_fn(spec, None, jnp.float32, "none")
+    assert f1 is f2                                   # closure cached
+    f3 = dispatch._flat_fn(spec, None, jnp.float32, "bias")
+    assert f3 is not f1                               # epilogue keyed
+
+    dispatch._cast_cache.clear()
+    arrs = [jnp.ones((4, 4), jnp.float32) * i for i in range(5)]
+    for a in arrs:
+        dispatch._cast_cached(a, jnp.bfloat16)
+    assert len(dispatch._cast_cache) == dispatch._CAST_CACHE_SLOTS
+    # identity hit returns the SAME cast buffer
+    c1 = dispatch._cast_cached(arrs[-1], jnp.bfloat16)
+    c2 = dispatch._cast_cached(arrs[-1], jnp.bfloat16)
+    assert c1 is c2 and c1.dtype == jnp.bfloat16

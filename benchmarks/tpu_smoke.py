@@ -215,6 +215,21 @@ def main():
                          "flash_bwd_dv"), pal, ora):
         record(nm, rel(g, r), 2e-2)
 
+    # same grads through the two-kernel fallback (force by zeroing the
+    # single-pass accumulator budget) — keeps the transposed-walk kernels
+    # on-chip-covered now that the fused pass is the default
+    from sputnik_tpu.ops import fused_attention as _fa
+
+    _old_budget = _fa._FUSED_BWD_ACC_BYTES
+    _fa._FUSED_BWD_ACC_BYTES = 0
+    try:
+        pal2 = attn("pallas")
+    finally:
+        _fa._FUSED_BWD_ACC_BYTES = _old_budget
+    for nm, g, r in zip(("flash_bwd2k_dq", "flash_bwd2k_dk",
+                         "flash_bwd2k_dv"), pal2[1:], ora[1:]):
+        record(nm, rel(g, r), 2e-2)
+
     # ---- batched spmm at wide q (bn=512) + big tiles (the MoE bank) ------
     topo_w = st.SparseTopology.from_dense_mask(
         (rng.rand(1024, 1024) < 0.25).astype(np.float32))

@@ -84,7 +84,7 @@ def _flash_bwd_meta(spec: bp.BatchedPanelSpec):
 
 
 def warm_flash_meta(spec: bp.BatchedPanelSpec, *,
-                    backward: bool = True) -> None:
+                    backward: bool = True, hd: int = 128) -> None:
     """Eagerly build + device-place the flash metadata for ``spec``.
 
     Call once at model-construction time (outside ``jit``) so the first
@@ -92,12 +92,14 @@ def warm_flash_meta(spec: bp.BatchedPanelSpec, *,
     No-op under a trace. ``backward=False`` skips the backward-pass
     metadata (inference-only paths — serving prefill never
     differentiates, and the backward tables cost their own host build +
-    permanent device residency).
+    permanent device residency). The transposed (two-kernel) tables are
+    also skipped when the single-pass fused backward will handle ``hd``
+    (the common case) — it consumes only the forward metadata.
     """
     if not _trace_clean():
         return
     _flash_meta(spec)
-    if backward:
+    if backward and not _use_fused_bwd(spec, _hd_pad(max(hd, 1))):
         _flash_bwd_meta(spec)
 
 
@@ -169,6 +171,17 @@ def _fused_f(spec, q, k, v, scale, group):
     return out, (q, k, v, out, row_max, row_denom)
 
 
+# dk/dv VMEM accumulator budget for the single-pass fused backward: two
+# f32 scratches of (kb, bk, hd_pad) must coexist with the double-buffered
+# block operands under the 100 MB scoped-VMEM request. Above it, fall back
+# to the two-kernel (dq + transposed-walk dkv) path.
+_FUSED_BWD_ACC_BYTES = 32 * 1024 * 1024
+
+
+def _use_fused_bwd(spec, hd_pad: int) -> bool:
+    return 2 * spec.n_pad * hd_pad * 4 <= _FUSED_BWD_ACC_BYTES
+
+
 def _fused_b(spec, scale, group, res, g):
     q, k, v, out, row_max, row_denom = res
     if out is None:  # oracle path
@@ -177,8 +190,11 @@ def _fused_b(spec, scale, group, res, g):
             q, k, v)
         return vjp(g)
 
-    meta = _flash_bwd_meta(spec)
     R, s, hd = q.shape
+    if _use_fused_bwd(spec, _hd_pad(max(hd, 1))):
+        return _fused_b_single_pass(spec, scale, group, res, g)
+
+    meta = _flash_bwd_meta(spec)
     hd_pad = _hd_pad(max(hd, 1))
     q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
     k_p = _pad(spec, k, spec.n_pad, hd_pad)
@@ -214,6 +230,53 @@ def _fused_b(spec, scale, group, res, g):
         kb=spec.kb, max_bpc=meta["max_bpc"], **common)
     if group > 1:
         # per-query-replica partials -> shared KV replica gradients
+        R_kv = R // group
+        dk_p = dk_p.reshape(R_kv, group, *dk_p.shape[1:]).sum(axis=1)
+        dv_p = dv_p.reshape(R_kv, group, *dv_p.shape[1:]).sum(axis=1)
+
+    dq = dq_p[:, :s, :hd] * scale
+    dk = dk_p[:, : k.shape[1], :hd]
+    dv = dv_p[:, : v.shape[1], :hd]
+    return dq, dk, dv
+
+
+def _fused_b_single_pass(spec, scale, group, res, g):
+    """One kernel, one score/exp recompute, dq + dk/dv together.
+
+    Needs only the FORWARD metadata (row-major walk) — no transposed
+    tables, no ``max_bpc`` worst-column padding. See
+    ``pallas/flash_sparse.flash_sparse_bwd_fused``.
+    """
+    q, k, v, out, row_max, row_denom = res
+    meta = _flash_meta(spec)
+    R, s, hd = q.shape
+    hd_pad = _hd_pad(max(hd, 1))
+    q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
+    k_p = _pad(spec, k, spec.n_pad, hd_pad)
+    v_p = _pad(spec, v, spec.n_pad, hd_pad)
+    g_p = _pad(spec, g, spec.m_pad, hd_pad)
+
+    stats = jnp.concatenate(
+        [row_max[:, :, :1], row_denom[:, :, :1],
+         jnp.zeros((R, spec.m_pad, 126), jnp.float32)], axis=2)
+    d_rows = jnp.sum(g * out, axis=-1)                       # [R, s]
+    d_pad = jnp.zeros((R, spec.m_pad), jnp.float32)
+    d_pad = d_pad.at[:, :s].set(d_rows)
+    dcoef = jnp.broadcast_to(d_pad[:, :, None], (R, spec.m_pad, 128))
+
+    dq_p, dk_p, dv_p = fs.flash_sparse_bwd_fused(
+        jnp.asarray(meta["block_cols"]),
+        jnp.asarray(meta["nblocks"]),
+        jnp.asarray(meta["mask_slot"]),
+        jnp.asarray(meta["is_partial"]),
+        jnp.asarray(meta["pmask"]),
+        q_p, k_p, v_p, g_p, stats, dcoef,
+        R=R, heads=spec.heads, mb=spec.mb, kb=spec.kb,
+        max_bpr=meta["max_bpr"], bm=meta["bm"], bk=meta["bk"],
+        group=group, interpret=_interp())
+    dk_p = dk_p.reshape(R, spec.n_pad, hd_pad)
+    dv_p = dv_p.reshape(R, spec.n_pad, hd_pad)
+    if group > 1:
         R_kv = R // group
         dk_p = dk_p.reshape(R_kv, group, *dk_p.shape[1:]).sum(axis=1)
         dv_p = dv_p.reshape(R_kv, group, *dv_p.shape[1:]).sum(axis=1)

@@ -29,8 +29,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_sparse_attention_fwd", "flash_sparse_bwd_dq",
-           "flash_sparse_bwd_dkv", "build_flash_meta",
-           "build_flash_bwd_meta"]
+           "flash_sparse_bwd_dkv", "flash_sparse_bwd_fused",
+           "build_flash_meta", "build_flash_bwd_meta"]
 
 _NEG_LARGE = -1e30
 
@@ -215,10 +215,146 @@ def flash_sparse_attention_fwd(
 # ---------------------------------------------------------------------------
 # Fused backward. Standard flash-attention backward specialised to the
 # sparse block topology: p is recomputed per occupied block from the saved
-# row stats (m, l); dq accumulates over the row direction (forward's grid),
-# dk/dv accumulate over the column direction (transposed block metadata,
-# like bsr_spmm_t — no value movement).
+# row stats (m, l).
+#
+# Two strategies:
+#   * ``flash_sparse_bwd_fused`` (default when the per-replica dk/dv
+#     accumulators fit VMEM): ONE kernel over the forward's row-major walk
+#     recomputes each score tile exactly once and produces dq AND dk/dv —
+#     dq accumulates into a per-row-block scratch, dk/dv into a
+#     replica-resident ``(kb, bk, hd)`` scratch dynamically indexed by the
+#     prefetched column id (Mosaic supports dynamic leading-dim VMEM
+#     stores). This removes the second score/exp recompute, the second
+#     kernel launch, AND the transposed walk's worst-column padding
+#     (``max_bpc`` for a causal mask equals ``mb`` — every column padded
+#     to the densest one; the row walk pads only to ``max_bpr``).
+#   * two-kernel fallback for huge topologies: dq over the row walk,
+#     dk/dv over the column walk via transposed block metadata (like
+#     ``bsr_spmm_t`` — no value movement).
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "heads", "mb", "kb", "max_bpr", "bm", "bk", "group", "interpret"))
+def flash_sparse_bwd_fused(
+    block_cols, nblocks, mask_slot, is_partial, pmask,
+    q, k, v, g, stats,  # stats f32[R, mb*bm, 128]: lanes 0/1 = m / l
+    dcoef,              # f32[R, mb*bm, 128]: D = rowsum(g*out), broadcast
+    *, R, heads, mb, kb, max_bpr, bm, bk, group=1, interpret=False,
+):
+    """Single-pass backward: ``(dq [R, mb*bm, hd], dk, dv [R, kb, bk, hd])``.
+
+    dk/dv come back PER QUERY REPLICA (as in ``flash_sparse_bwd_dkv``);
+    the caller group-sums under GQA and flattens the (kb, bk) dims.
+    Requires ``2 * kb * bk * hd_pad * 4`` bytes of VMEM for the dk/dv
+    accumulators — the caller falls back to the two-kernel path above
+    the budget.
+    """
+    hd_pad = q.shape[-1]
+
+    def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
+               q_ref, k_ref, v_ref, g_ref, st_ref, d_ref, pm_ref,
+               dq_ref, dk_ref, dv_ref, accq, acck, accv):
+        r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        b = r // heads
+
+        @pl.when(jnp.logical_and(i == 0, s == 0))
+        def _():
+            acck[:] = jnp.zeros_like(acck)
+            accv[:] = jnp.zeros_like(accv)
+
+        @pl.when(s == 0)
+        def _():
+            accq[:] = jnp.zeros_like(accq)
+
+        @pl.when(s < nblk_ref[b, i])
+        def _():
+            sc = jax.lax.dot_general(
+                q_ref[0], k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [bm, bk]
+            partial = part_ref[b, i * max_bpr + s] == 1
+            sc = jnp.where(
+                jnp.logical_and(partial, pm_ref[0, 0] == 0), _NEG_LARGE, sc)
+            m_row = st_ref[0][:, :1]
+            l_row = jnp.maximum(st_ref[0][:, 1:2], 1e-30)
+            p = jnp.exp(sc - m_row) / l_row
+            p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
+            dp = jax.lax.dot_general(
+                g_ref[0], v_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - d_ref[0][:, :1])
+            accq[:] += jax.lax.dot(
+                ds, k_ref[0], preferred_element_type=jnp.float32)
+            c = cols_ref[b, i * max_bpr + s]
+            acck[c] += jax.lax.dot_general(
+                ds, q_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [bk, hd]
+            accv[c] += jax.lax.dot_general(
+                p, g_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            dq_ref[0] = accq[:]
+
+        @pl.when(jnp.logical_and(i == mb - 1, s == max_bpr - 1))
+        def _():
+            dk_ref[0] = acck[:]
+            dv_ref[0] = accv[:]
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(R, mb, max_bpr),
+            in_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r // group, c[r // heads, i * max_bpr + s], 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r // group, c[r // heads, i * max_bpr + s], 0)),
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda r, i, s, c, nb_, sl, pt: (
+                        r // heads, sl[r // heads, i * max_bpr + s], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, kb, bk, hd_pad),
+                             lambda r, i, s, *p: (r, 0, 0, 0)),
+                pl.BlockSpec((1, kb, bk, hd_pad),
+                             lambda r, i, s, *p: (r, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bm, hd_pad), jnp.float32),
+                pltpu.VMEM((kb, bk, hd_pad), jnp.float32),
+                pltpu.VMEM((kb, bk, hd_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R, kb, bk, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R, kb, bk, hd_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
+      dcoef, pmask)
+    return dq, dk, dv
 
 
 def build_flash_bwd_meta(views):

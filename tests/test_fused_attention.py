@@ -137,3 +137,43 @@ def test_fused_gqa_matches_expanded():
         fused_sparse_attention(spec, q, k, v, group=3)
     with pytest.raises(ValueError):
         fused_sparse_attention(spec, q, k_full, v_full, group=group)
+
+
+def test_single_pass_bwd_matches_two_kernel_fallback(problem):
+    """The single-pass fused backward (default) and the two-kernel
+    dq+dkv fallback (forced by shrinking the accumulator budget) must
+    produce identical grads — both against the unfused oracle."""
+    from sputnik_tpu.ops import fused_attention as fa
+
+    spec, q, k, v = (problem[x] for x in ("spec", "q", "k", "v"))
+
+    def grads():
+        return jax.grad(lambda a, b_, c: jnp.sum(
+            fused_sparse_attention(spec, a, b_, c) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+
+    st.set_backend("xla")
+    try:
+        ref = grads()
+    finally:
+        st.set_backend("auto")
+
+    st.set_backend("pallas")
+    try:
+        assert fa._use_fused_bwd(spec, fa._hd_pad(q.shape[-1]))
+        fused = grads()
+        old = fa._FUSED_BWD_ACC_BYTES
+        fa._FUSED_BWD_ACC_BYTES = 0
+        try:
+            assert not fa._use_fused_bwd(spec, fa._hd_pad(q.shape[-1]))
+            two_pass = grads()
+        finally:
+            fa._FUSED_BWD_ACC_BYTES = old
+    finally:
+        st.set_backend("auto")
+
+    for got, want, tag in ((fused, ref, "fused"), (two_pass, ref, "2pass")):
+        for g_got, g_want, name in zip(got, want, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g_got), np.asarray(g_want), atol=1e-3,
+                err_msg=f"{tag}:{name}")

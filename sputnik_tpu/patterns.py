@@ -30,6 +30,8 @@ __all__ = [
     "local_window_topology",
     "causal_topology",
     "random_mask_batch",
+    "block_random_mask",
+    "block_random_topology",
 ]
 
 
@@ -123,6 +125,59 @@ def random_mask_batch(
         for i in range(b)
     ]
     return np.stack(masks)
+
+
+def block_random_mask(
+    m: int,
+    n: int,
+    bm: int,
+    bk: int,
+    *,
+    density: float,
+    seed=0,
+    balanced: bool = True,
+) -> np.ndarray:
+    """Random BLOCK-structured 0/1 mask: whole ``(bm, bk)`` tiles are on or
+    off, so the block-CSR kernels' time scales with the density instead of
+    running dense FLOPs through ~1.0 block occupancy (the fate of
+    element-random patterns at MXU tile sizes — ``benchmarks/structured.py``).
+
+    ``balanced=True`` gives every block-row the same number of occupied
+    blocks (``round(density * kb)``), which is also the panel layout's
+    zero-padding-waste case (``max_bpr`` equals the mean). ``balanced=False``
+    draws blocks globally at the target count. ``m``/``n`` need not divide
+    the tile — edge blocks are cropped (their elements partially survive).
+    """
+    if not 0.0 < density <= 1.0:
+        raise ValueError("density must be in (0, 1]")
+    if bm < 1 or bk < 1:
+        raise ValueError("tile dims must be positive")
+    rng = _rng(seed)
+    mb = -(-m // bm)
+    kb = -(-n // bk)
+    occ = np.zeros((mb, kb), bool)
+    if balanced:
+        bpr = max(1, int(round(density * kb)))
+        for i in range(mb):
+            occ[i, rng.choice(kb, min(bpr, kb), replace=False)] = True
+    else:
+        total = max(1, int(round(density * mb * kb)))
+        flat = rng.choice(mb * kb, min(total, mb * kb), replace=False)
+        occ.ravel()[flat] = True
+    mask = np.kron(occ, np.ones((bm, bk), np.float32))
+    return np.ascontiguousarray(mask[:m, :n])
+
+
+def block_random_topology(m: int, n: int, bm: int, bk: int, *,
+                          density: float, seed=0, balanced: bool = True):
+    """``SparseTopology`` over a :func:`block_random_mask` pattern — the
+    input format for block-structured :class:`SparseLinear` / MoE expert
+    banks and for ``training.sparsity.block_rigl_update``."""
+    from .topology import SparseTopology
+
+    return SparseTopology.from_dense_mask(
+        block_random_mask(m, n, bm, bk, density=density, seed=seed,
+                          balanced=balanced))
 
 
 def _analytic_topology(cls, s, starts, ends):

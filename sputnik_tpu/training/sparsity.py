@@ -47,6 +47,8 @@ __all__ = [
     "rigl_update_linear",
     "rigl_update_moe",
     "dense_linear_grad",
+    "block_occupancy",
+    "block_rigl_update",
 ]
 
 
@@ -224,6 +226,93 @@ def rigl_update(topo: SparseTopology, values, dense_grad, *,
     return new, remap_values(topo, new, values)
 
 
+def block_occupancy(topo: SparseTopology, bm: int, bk: int) -> np.ndarray:
+    """Per-``(bm, bk)``-tile nonzero counts, ``int64 [ceil(m/bm),
+    ceil(n/bk)]`` — the quantity the block-CSR kernels' runtime actually
+    scales with (``benchmarks/structured.py``)."""
+    mb = -(-topo.m // bm)
+    kb = -(-topo.n // bk)
+    nnz = topo.nnz
+    bi = topo.row_ids[:nnz].astype(np.int64) // bm
+    bj = topo.column_indices[:nnz].astype(np.int64) // bk
+    occ = np.zeros((mb, kb), np.int64)
+    np.add.at(occ, (bi, bj), 1)
+    return occ
+
+
+def block_rigl_update(topo: SparseTopology, values, dense_grad, *,
+                      bm: int, bk: int, fraction: float = 0.1,
+                      ) -> Tuple[SparseTopology, np.ndarray]:
+    """One RigL connectivity update at WHOLE-TILE granularity.
+
+    Element-granular RigL converges to element-random patterns whose
+    block occupancy is ~1.0 at MXU tile sizes — the kernels then do dense
+    FLOPs through sparse bookkeeping (the r4 MoE-bank floor). This
+    variant drops the ``k = round(fraction * nblocks)`` occupied
+    ``(bm, bk)`` tiles with the smallest summed ``|value|`` and grows the
+    ``k`` empty tiles with the largest summed ``|dense_grad|`` (grown
+    tiles enter FULLY dense at value 0), so the trained pattern stays in
+    the regime where sparsity buys wall-clock time.
+
+    Requires a block-dense topology (every tile fully occupied or empty
+    — e.g. seeded from ``patterns.block_random_topology``) and tile-
+    aligned dims, so ``nnz`` and ``nnz_pad`` are exactly preserved and
+    every value-shaped buffer (params, Adam moments via
+    :func:`remap_values`) keeps its shape. Use the same ``(bm, bk)`` as
+    the kernels' panel tiles so the drop/grow unit is the unit of
+    compute.
+    """
+    if topo.m % bm or topo.n % bk:
+        raise ValueError(
+            f"dims ({topo.m}, {topo.n}) must be multiples of the tile "
+            f"({bm}, {bk})")
+    values = np.asarray(values)
+    g = np.asarray(dense_grad, np.float32)
+    if g.shape != (topo.m, topo.n):
+        raise ValueError(f"dense_grad shape {g.shape} != "
+                         f"{(topo.m, topo.n)}")
+    mb, kb = topo.m // bm, topo.n // bk
+    occ = block_occupancy(topo, bm, bk)
+    full = bm * bk
+    if not np.all((occ == 0) | (occ == full)):
+        raise ValueError(
+            "block_rigl_update needs a block-dense topology (every tile "
+            "full or empty); seed from patterns.block_random_topology or "
+            "use element-granular rigl_update")
+    occupied = occ == full
+    nblocks = int(occupied.sum())
+    k = int(round(fraction * nblocks))
+    k = max(0, min(k, nblocks - 1, mb * kb - nblocks))
+    if k == 0:
+        return topo, remap_values(topo, topo, values)
+
+    nnz = topo.nnz
+    bi = topo.row_ids[:nnz].astype(np.int64) // bm
+    bj = topo.column_indices[:nnz].astype(np.int64) // bk
+    score = np.zeros((mb, kb), np.float64)
+    np.add.at(score, (bi, bj), np.abs(values[:nnz].astype(np.float64)))
+
+    occ_flat = occupied.ravel()
+    sc_flat = np.where(occ_flat, score.ravel(), np.inf)
+    drop = np.argpartition(sc_flat, k - 1)[:k]
+
+    gscore = np.abs(g).reshape(mb, bm, kb, bk).sum(axis=(1, 3)).ravel()
+    gscore[occ_flat] = -1.0                  # never grow an active tile
+    grow = np.argpartition(gscore, gscore.size - k)[gscore.size - k:]
+
+    keep_flat = occ_flat.copy()
+    keep_flat[drop] = False
+    keep_flat[grow] = True
+    bids = np.flatnonzero(keep_flat)
+    # expand final tiles to element COO
+    ii = (bids // kb)[:, None] * bm + np.arange(bm)[None, :]   # [B, bm]
+    jj = (bids % kb)[:, None] * bk + np.arange(bk)[None, :]    # [B, bk]
+    rows = np.repeat(ii[:, :, None], bk, axis=2).ravel()
+    cols = np.repeat(jj[:, None, :], bm, axis=1).ravel()
+    new = _topo_from_coo(topo.m, topo.n, rows, cols, nnz_pad=topo.nnz_pad)
+    return new, remap_values(topo, new, values)
+
+
 def cubic_sparsity_schedule(step: int, *, s_init: float, s_final: float,
                             t_start: int, t_end: int) -> float:
     """Zhu & Gupta gradual-pruning schedule: sparsity ramps from
@@ -297,7 +386,7 @@ def rigl_update_linear(layer, variables, dense_grad, *,
 
 
 def rigl_update_moe(moe, variables, dense_grads_in, dense_grads_out, *,
-                    fraction: float = 0.1, opt_values=None):
+                    fraction: float = 0.1, opt_values=None, block=None):
     """One RigL connectivity update of a ``SparseMoE``'s SHARED expert
     topologies at constant ``nnz``.
 
@@ -346,8 +435,15 @@ def rigl_update_moe(moe, variables, dense_grads_in, dense_grads_out, *,
         # drop smallest mean |value|; grow largest aggregated |grad|
         pseudo_vals = np.zeros(topo.nnz_pad, np.float32)
         pseudo_vals[: topo.nnz] = mean_mag
-        new_topo, _ = rigl_update(topo, pseudo_vals, agg(gd, topo),
-                                  fraction=fraction)
+        if block is not None:
+            # whole-tile drop/grow — keeps the bank in the block-dense
+            # regime where the kernels' time scales with density
+            new_topo, _ = block_rigl_update(
+                topo, pseudo_vals, agg(gd, topo), bm=block[0],
+                bk=block[1], fraction=fraction)
+        else:
+            new_topo, _ = rigl_update(topo, pseudo_vals, agg(gd, topo),
+                                      fraction=fraction)
         new_topos[which] = new_topo
         new_spec_bm, new_spec_bk = spec.bm, spec.bk
         remapped = np.stack([

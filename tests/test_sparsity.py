@@ -8,6 +8,7 @@ through the updated topologies.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -269,5 +270,112 @@ def test_rigl_update_moe_shared_topology():
     if len(grown):
         np.testing.assert_allclose(mu_flat[:, grown], 0.0, atol=1e-9)
 
+    y = new_moe.apply(new_vars, x)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_block_random_mask_and_topology():
+    from sputnik_tpu.patterns import block_random_mask, block_random_topology
+    from sputnik_tpu.training.sparsity import block_occupancy
+
+    m = block_random_mask(256, 512, 64, 128, density=0.25, seed=0)
+    assert m.shape == (256, 512)
+    # balanced: every block-row has round(0.25 * 4) = 1 occupied block
+    occ = m.reshape(4, 64, 4, 128).max(axis=(1, 3))
+    assert (occ.sum(axis=1) == 1).all()
+    # whole tiles on or off
+    per_tile = m.reshape(4, 64, 4, 128).sum(axis=(1, 3))
+    assert set(np.unique(per_tile)) <= {0.0, 64.0 * 128}
+
+    topo = block_random_topology(256, 512, 64, 128, density=0.25, seed=0)
+    bo = block_occupancy(topo, 64, 128)
+    assert set(np.unique(bo)) <= {0, 64 * 128}
+    assert topo.nnz == int(m.sum())
+
+    # unbalanced draws the global count
+    mu_ = block_random_mask(256, 256, 64, 64, density=0.5, seed=1,
+                            balanced=False)
+    occ_u = mu_.reshape(4, 64, 4, 64).max(axis=(1, 3))
+    assert occ_u.sum() == round(0.5 * 16)
+
+    # crop: non-divisible dims still work
+    mc = block_random_mask(100, 130, 64, 128, density=0.5, seed=2)
+    assert mc.shape == (100, 130)
+
+
+def test_block_rigl_update_preserves_block_structure():
+    from sputnik_tpu.patterns import block_random_topology
+    from sputnik_tpu.training.sparsity import (block_occupancy,
+                                               block_rigl_update,
+                                               remap_values)
+
+    rng = np.random.RandomState(0)
+    bm, bk = 16, 128
+    topo = block_random_topology(128, 512, bm, bk, density=0.5, seed=3)
+    vals = rng.randn(topo.nnz_pad).astype(np.float32)
+    vals[topo.nnz:] = 0.0
+    g = rng.randn(128, 512).astype(np.float32)
+
+    new, new_vals = block_rigl_update(topo, vals, g, bm=bm, bk=bk,
+                                      fraction=0.25)
+    assert new.nnz == topo.nnz and new.nnz_pad == topo.nnz_pad
+    occ = block_occupancy(new, bm, bk)
+    assert set(np.unique(occ)) <= {0, bm * bk}
+    # grown tiles: zero values; survivors carry values over
+    ok = (topo.row_ids[:topo.nnz].astype(np.int64) * topo.n
+          + topo.column_indices[:topo.nnz])
+    nk = (new.row_ids[:new.nnz].astype(np.int64) * new.n
+          + new.column_indices[:new.nnz])
+    common, oi, ni = np.intersect1d(ok, nk, return_indices=True)
+    np.testing.assert_allclose(new_vals[:new.nnz][ni], vals[:topo.nnz][oi])
+    grown = np.setdiff1d(np.arange(new.nnz), ni)
+    assert len(grown) > 0
+    np.testing.assert_allclose(new_vals[:new.nnz][grown], 0.0)
+
+    # dropped tiles were the smallest-|value| ones: surviving-original
+    # tile scores all >= max dropped score
+    occ0 = block_occupancy(topo, bm, bk)
+    mbb, kbb = occ0.shape
+    bi = topo.row_ids[:topo.nnz].astype(np.int64) // bm
+    bj = topo.column_indices[:topo.nnz].astype(np.int64) // bk
+    score = np.zeros((mbb, kbb))
+    np.add.at(score, (bi, bj), np.abs(vals[:topo.nnz]))
+    kept_orig = (occ0 > 0) & (occ > 0)
+    dropped = (occ0 > 0) & (occ == 0)
+    assert score[kept_orig].min() >= score[dropped].max()
+
+    # element-random topology rejected
+    import sputnik_tpu as st
+    el = st.SparseTopology.from_dense_mask(
+        (rng.rand(128, 512) < 0.3).astype(np.float32))
+    with pytest.raises(ValueError):
+        block_rigl_update(el, rng.randn(el.nnz_pad).astype(np.float32), g,
+                          bm=bm, bk=bk)
+    with pytest.raises(ValueError):
+        block_rigl_update(topo, vals, g[:100], bm=bm, bk=bk)
+
+
+def test_rigl_update_moe_block_mode():
+    from sputnik_tpu.models.moe import SparseMoE
+    from sputnik_tpu.patterns import block_random_topology
+    from sputnik_tpu.training.sparsity import (block_occupancy,
+                                               rigl_update_moe)
+
+    rng = np.random.RandomState(1)
+    h, f, E = 64, 128, 2
+    bm, bk = 16, 64
+    ti = block_random_topology(f, h, bm, bk, density=0.5, seed=0)
+    to = block_random_topology(h, f, bm, bk, density=0.5, seed=1)
+    moe = SparseMoE(topo_in=ti, topo_out=to, num_experts=E)
+    x = jnp.asarray(rng.randn(2, 8, h).astype(np.float32))
+    variables = moe.init(jax.random.PRNGKey(0), x)
+    gd_in = rng.randn(E, f, h).astype(np.float32)
+    gd_out = rng.randn(E, h, f).astype(np.float32)
+
+    new_moe, new_vars, _ = rigl_update_moe(
+        moe, variables, gd_in, gd_out, fraction=0.25, block=(bm, bk))
+    assert new_moe.topo_in.nnz == ti.nnz
+    occ = block_occupancy(new_moe.topo_in, bm, bk)
+    assert set(np.unique(occ)) <= {0, bm * bk}
     y = new_moe.apply(new_vars, x)
     assert np.isfinite(np.asarray(y)).all()

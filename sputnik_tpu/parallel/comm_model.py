@@ -185,12 +185,16 @@ def attention_ring_comm_bytes(n_loc: int, hd: int, ndev: int, *,
 
 def project_scaling(t1_ms: float, comm_bytes_per_dev: float,
                     ndev: int, chip: Chip = V5E, *,
-                    overlap_fraction: float = 0.0) -> dict:
+                    overlap_fraction: float = 0.0,
+                    worst_device_factor: float = 1.0) -> dict:
     """Closed-form scaling projection for one op invocation.
 
     ``t1_ms``: measured single-chip kernel time for the full problem.
-    Per-device compute shrinks linearly (RowPartition balances nnz);
-    comm runs at one ICI link's one-way rate.
+    Per-device compute shrinks linearly when the partition balances nnz;
+    ``worst_device_factor`` (= ``nnz_balance(part)["max_over_mean"]``,
+    1.0 for a balanced/zigzag partition) scales the compute term to the
+    straggler device — SPMD steps at the slowest shard. Comm runs at one
+    ICI link's one-way rate.
 
     ``overlap_fraction`` (``f``): the portion of the comm volume whose
     transfer is dataflow-independent of the kernels and can hide under
@@ -206,7 +210,9 @@ def project_scaling(t1_ms: float, comm_bytes_per_dev: float,
     if not 0.0 <= overlap_fraction <= 1.0:
         raise ValueError(f"overlap_fraction {overlap_fraction} not in "
                          "[0, 1]")
-    t_comp = t1_ms / ndev
+    if worst_device_factor < 1.0:
+        raise ValueError(f"worst_device_factor {worst_device_factor} < 1")
+    t_comp = t1_ms / ndev * worst_device_factor
     t_comm = comm_bytes_per_dev / chip.ici_oneway * 1e3
     t_serial = t_comp + t_comm
     t = (max(t_comp, overlap_fraction * t_comm)
@@ -214,6 +220,7 @@ def project_scaling(t1_ms: float, comm_bytes_per_dev: float,
     return {"ndev": ndev, "t_ms": t, "t_ms_serial": t_serial,
             "t_compute_ms": t_comp, "t_comm_ms": t_comm,
             "overlap_fraction": overlap_fraction,
+            "worst_device_factor": worst_device_factor,
             "efficiency": t1_ms / (ndev * t) if ndev else 1.0,
             "efficiency_serial":
                 t1_ms / (ndev * t_serial) if ndev else 1.0,

@@ -34,12 +34,12 @@ def causal_masks():
     return np.broadcast_to(m, (B, S, S)).copy()
 
 
-def build(layout):
+def build(layout, stream=None):
     model = SparseTransformer.from_masks(
         causal_masks(), num_layers=LAYERS, hidden_size=H,
         num_heads=HEADS, ffn_hidden_size=FFN, use_residual=True,
         use_layernorm=True, activation="gelu",
-        attention_layout=layout)
+        attention_layout=layout, flash_stream=stream)
     x = jnp.asarray(
         np.random.RandomState(0).randn(B, S, H).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x)
@@ -125,7 +125,10 @@ def main():
     assert jax.devices()[0].platform == "tpu"
     out = {}
 
-    for tag, builder in (("sparse_flash", lambda: build("flash")),
+    for tag, builder in (("sparse_auto", lambda: build("auto")),
+                         ("sparse_flash", lambda: build("flash")),
+                         ("sparse_flash_bf16",
+                          lambda: build("flash", stream="bf16")),
                          ("sparse_panel", lambda: build("panel")),
                          ("dense", dense_model_step)):
         model, params, x = builder()

@@ -135,11 +135,18 @@ def _pad(spec, x, rows, hd_pad):
 def _fused_fwd_impl(spec, q, k, v, scale, group, *, want_stats=False):
     meta = _flash_meta(spec)
     R, s, hd = q.shape
-    hd_pad = _hd_pad(max(hd, 1))
+    # hd=64 runs NATIVE 64-lane tiles in the FORWARD: the kernel is not
+    # faster (the MXU does a 64-deep contraction in a full pass, see
+    # _hd_pad) but the XLA pad/slice ops around it vanish — measured
+    # end-to-end fwd 0.227 -> 0.188 ms at the driver shapes (R=32,
+    # s=512). The backward keeps 128-lane padding (measured noise-equal
+    # there); fwd/bwd padding choices are independent because residuals
+    # are stored unpadded.
+    hd_pad = 64 if hd == 64 else _hd_pad(max(hd, 1))
     q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
     k_p = _pad(spec, k, spec.n_pad, hd_pad)
     v_p = _pad(spec, v, spec.n_pad, hd_pad)
-    out, row_max, row_denom = fs.flash_sparse_attention_fwd(
+    out, stats = fs.flash_sparse_attention_fwd(
         jnp.asarray(meta["block_cols"]),
         jnp.asarray(meta["nblocks"]),
         jnp.asarray(meta["mask_slot"]),
@@ -148,10 +155,12 @@ def _fused_fwd_impl(spec, q, k, v, scale, group, *, want_stats=False):
         q_p, k_p, v_p,
         R=R, heads=spec.heads, mb=spec.mb,
         max_bpr=meta["max_bpr"], bm=meta["bm"], bk=meta["bk"],
-        group=group, interpret=_interp(),
+        group=group, interpret=_interp(), packed_stats=True,
     )
     if want_stats:
-        return out[:, :s, :hd], row_max, row_denom
+        # stats: lane 0 = running max, lane 1 = denom — already the
+        # backward kernels' operand layout (no per-backward concatenate)
+        return out[:, :s, :hd], stats
     return out[:, :s, :hd]
 
 
@@ -165,10 +174,10 @@ def _fused(spec, q, k, v, scale, group):
 def _fused_f(spec, q, k, v, scale, group):
     if not _use_kernels():
         out = _unfused(spec, q, k, v, scale, group)
-        return out, (q, k, v, None, None, None)
-    out, row_max, row_denom = _fused_fwd_impl(spec, q, k, v, scale, group,
-                                              want_stats=True)
-    return out, (q, k, v, out, row_max, row_denom)
+        return out, (q, k, v, None, None)
+    out, stats = _fused_fwd_impl(spec, q, k, v, scale, group,
+                                 want_stats=True)
+    return out, (q, k, v, out, stats)
 
 
 # dk/dv VMEM accumulator budget for the single-pass fused backward: two
@@ -183,7 +192,7 @@ def _use_fused_bwd(spec, hd_pad: int) -> bool:
 
 
 def _fused_b(spec, scale, group, res, g):
-    q, k, v, out, row_max, row_denom = res
+    q, k, v, out, stats = res
     if out is None:  # oracle path
         _, vjp = jax.vjp(
             lambda q_, k_, v_: _unfused(spec, q_, k_, v_, scale, group),
@@ -201,10 +210,7 @@ def _fused_b(spec, scale, group, res, g):
     v_p = _pad(spec, v, spec.n_pad, hd_pad)
     g_p = _pad(spec, g, spec.m_pad, hd_pad)
 
-    # stats layout for the kernels: lane 0 = running max, lane 1 = denom
-    stats = jnp.concatenate(
-        [row_max[:, :, :1], row_denom[:, :, :1],
-         jnp.zeros((R, spec.m_pad, 126), jnp.float32)], axis=2)
+    # stats arrive pre-packed from the forward (lane 0 = max, 1 = denom)
     d_rows = jnp.sum(g * out, axis=-1)                       # [R, s]
     d_pad = jnp.zeros((R, spec.m_pad), jnp.float32)
     d_pad = d_pad.at[:, :s].set(d_rows)
@@ -247,7 +253,7 @@ def _fused_b_single_pass(spec, scale, group, res, g):
     tables, no ``max_bpc`` worst-column padding. See
     ``pallas/flash_sparse.flash_sparse_bwd_fused``.
     """
-    q, k, v, out, row_max, row_denom = res
+    q, k, v, out, stats = res
     meta = _flash_meta(spec)
     R, s, hd = q.shape
     hd_pad = _hd_pad(max(hd, 1))
@@ -256,9 +262,6 @@ def _fused_b_single_pass(spec, scale, group, res, g):
     v_p = _pad(spec, v, spec.n_pad, hd_pad)
     g_p = _pad(spec, g, spec.m_pad, hd_pad)
 
-    stats = jnp.concatenate(
-        [row_max[:, :, :1], row_denom[:, :, :1],
-         jnp.zeros((R, spec.m_pad, 126), jnp.float32)], axis=2)
     d_rows = jnp.sum(g * out, axis=-1)                       # [R, s]
     d_pad = jnp.zeros((R, spec.m_pad), jnp.float32)
     d_pad = d_pad.at[:, :s].set(d_rows)

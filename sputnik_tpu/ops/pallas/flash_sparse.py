@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_sparse_attention_fwd", "flash_sparse_bwd_dq",
            "flash_sparse_bwd_dkv", "flash_sparse_bwd_fused",
+           "flash_sparse_ring_band_fwd",
            "build_flash_meta", "build_flash_bwd_meta"]
 
 _NEG_LARGE = -1e30
@@ -98,7 +99,8 @@ def build_flash_meta(views):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "heads", "mb", "max_bpr", "bm", "bk", "group", "interpret"))
+    "R", "heads", "mb", "max_bpr", "bm", "bk", "group", "interpret",
+    "packed_stats"))
 def flash_sparse_attention_fwd(
     block_cols,    # i32[B, mb*max_bpr]
     nblocks,       # i32[B, mb]
@@ -117,19 +119,20 @@ def flash_sparse_attention_fwd(
     bk: int,
     group: int = 1,   # GQA: query replicas per shared KV replica
     interpret: bool = False,
+    packed_stats: bool = False,
 ):
     """Returns ``(out [R, mb*bm, hd_pad], row_max [R, mb*bm, 128],
     row_denom [R, mb*bm, 128])`` — stats are broadcast along the 128-lane
-    minor dim (TPU-friendly layout) and consumed by the backward pass."""
+    minor dim (TPU-friendly layout) and consumed by the backward pass.
+
+    ``packed_stats=True`` returns ``(out, stats [R, mb*bm, 128])`` with
+    the running max in lane 0 and the denominator in lane 1 — exactly the
+    operand layout the backward kernels read, so the caller skips the
+    per-backward 3-way concatenate AND one HBM-sized forward output."""
     hd_pad = q.shape[-1]
 
-    def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
-               q_ref, k_ref, v_ref, pm_ref,
-               o_ref, m_ref, l_ref,
-               acc, m_scr, l_scr):
-        r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        b = r // heads
-
+    def body(s, nblk_ref, part_ref, pm_ref, q_ref, k_ref, v_ref, b, i,
+             acc, m_scr, l_scr):
         @pl.when(s == 0)
         def _():
             acc[:] = jnp.zeros_like(acc)
@@ -158,6 +161,15 @@ def flash_sparse_attention_fwd(
             acc[:] = acc[:] * corr + jax.lax.dot(
                 p, v_ref[0], preferred_element_type=jnp.float32)
 
+    def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
+               q_ref, k_ref, v_ref, pm_ref,
+               o_ref, m_ref, l_ref,
+               acc, m_scr, l_scr):
+        r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        b = r // heads
+        body(s, nblk_ref, part_ref, pm_ref, q_ref, k_ref, v_ref, b, i,
+             acc, m_scr, l_scr)
+
         @pl.when(s == max_bpr - 1)
         def _():
             denom = jnp.maximum(l_scr[:, :1], 1e-30)
@@ -165,9 +177,29 @@ def flash_sparse_attention_fwd(
             m_ref[0] = jnp.broadcast_to(m_scr[:, :1], m_ref[0].shape)
             l_ref[0] = jnp.broadcast_to(l_scr[:, :1], l_ref[0].shape)
 
+    def kernel_packed(cols_ref, nblk_ref, slot_ref, part_ref,
+                      q_ref, k_ref, v_ref, pm_ref,
+                      o_ref, st_ref,
+                      acc, m_scr, l_scr):
+        r, i, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        b = r // heads
+        body(s, nblk_ref, part_ref, pm_ref, q_ref, k_ref, v_ref, b, i,
+             acc, m_scr, l_scr)
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            denom = jnp.maximum(l_scr[:, :1], 1e-30)
+            o_ref[0] = acc[:] / denom
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1)
+            m_b = jnp.broadcast_to(m_scr[:, :1], (bm, 128))
+            l_b = jnp.broadcast_to(l_scr[:, :1], (bm, 128))
+            st_ref[0] = jnp.where(lane == 0, m_b,
+                                  jnp.where(lane == 1, l_b, 0.0))
+
+    n_stat_outs = 1 if packed_stats else 2
     grid = (R, mb, max_bpr)
-    out, row_max, row_denom = pl.pallas_call(
-        kernel,
+    outs = pl.pallas_call(
+        kernel_packed if packed_stats else kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=grid,
@@ -189,9 +221,9 @@ def flash_sparse_attention_fwd(
             ],
             out_specs=[
                 pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+            ] + [
                 pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
-                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
-            ],
+            ] * n_stat_outs,
             scratch_shapes=[
                 pltpu.VMEM((bm, hd_pad), jnp.float32),
                 pltpu.VMEM((bm, 128), jnp.float32),
@@ -200,16 +232,16 @@ def flash_sparse_attention_fwd(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
+        ] + [
             jax.ShapeDtypeStruct((R, mb * bm, 128), jnp.float32),
-            jax.ShapeDtypeStruct((R, mb * bm, 128), jnp.float32),
-        ],
+        ] * n_stat_outs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, pmask)
-    return out, row_max, row_denom
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -588,3 +620,133 @@ def flash_sparse_bwd_dkv(
     )(t_src_i, t_nblocks, t_mask_slot, t_is_partial, q, k, v, g, stats,
       dcoef, pmask)
     return dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Ring-band forward with carried state. One ring step = ONE pallas_call:
+# the online softmax CONTINUES across bands inside the kernel (the carry
+# holds the unnormalised accumulator + packed running stats, aliased
+# in-place), so the per-step XLA merge (3 elementwise passes over
+# activation-sized buffers) and the per-step metadata dynamic_index copies
+# disappear — the band is selected by a scalar-prefetched index into the
+# STACKED [nbands, ...] metadata via the block index maps.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "mb", "max_bpr", "bm", "bk", "group", "interpret"))
+def flash_sparse_ring_band_fwd(
+    band,          # i32[1] — which band's metadata to walk this step
+    block_cols,    # i32[nbands, mb*max_bpr]
+    nblocks,       # i32[nbands, mb]
+    mask_slot,     # i32[nbands, mb*max_bpr]
+    is_partial,    # i32[nbands, mb*max_bpr]
+    pmask,         # f32[nbands, n_partial_max, bm, bk]
+    q,             # f32[R, mb*bm, hd_pad]   (pre-scaled)
+    k,             # f32[R // group, n_loc, hd_pad]   (current band)
+    v,             # f32[R // group, n_loc, hd_pad]
+    acc_in,        # f32[R, mb*bm, hd_pad]   UNNORMALISED accumulator
+    st_in,         # f32[R, mb*bm, 128]      lanes 0/1 = running max/denom
+    *, R, mb, max_bpr, bm, bk, group=1, interpret=False,
+):
+    """Returns ``(acc_out, st_out)`` — the carry advanced by this band's
+    occupied blocks (donated/aliased onto ``acc_in``/``st_in``). Finish
+    with ``out = acc_out / max(st_out[..., 1:2], eps)`` after the last
+    band. Seed the carry with zeros and ``st = [-inf, 0]`` lanes.
+
+    Unlike ``flash_sparse_attention_fwd`` the metadata is per-BAND (no
+    batch dim; every replica shares the shard's mask band — the ring
+    path's layout, ``parallel/ring_flash.py``)."""
+    hd_pad = q.shape[-1]
+
+    def kernel(band_ref, cols_ref, nblk_ref, slot_ref, part_ref,
+               q_ref, k_ref, v_ref, acc_ref, st_ref, pm_ref,
+               acc_out, st_out,
+               acc, m_scr, l_scr):
+        i, s = pl.program_id(1), pl.program_id(2)
+        t = band_ref[0]
+
+        @pl.when(s == 0)
+        def _():
+            acc[:] = acc_ref[0]
+            m_scr[:, :1] = st_ref[0][:, :1]
+            l_scr[:, :1] = st_ref[0][:, 1:2]
+
+        @pl.when(s < nblk_ref[t, i])
+        def _():
+            sc = jax.lax.dot_general(
+                q_ref[0], k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            partial = part_ref[t, i * max_bpr + s] == 1
+            sc = jnp.where(
+                jnp.logical_and(partial, pm_ref[0, 0] == 0), _NEG_LARGE, sc)
+            m_prev = m_scr[:, :1]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(sc, axis=1, keepdims=True))
+            p = jnp.exp(sc - m_new)
+            p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
+            corr = jnp.exp(m_prev - m_new)
+            l_scr[:, :1] = l_scr[:, :1] * corr + jnp.sum(
+                p, axis=1, keepdims=True)
+            m_scr[:, :1] = m_new
+            acc[:] = acc[:] * corr + jax.lax.dot(
+                p, v_ref[0], preferred_element_type=jnp.float32)
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            acc_out[0] = acc[:]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1)
+            m_b = jnp.broadcast_to(m_scr[:, :1], (bm, 128))
+            l_b = jnp.broadcast_to(l_scr[:, :1], (bm, 128))
+            st_out[0] = jnp.where(lane == 0, m_b,
+                                  jnp.where(lane == 1, l_b, 0.0))
+
+    acc_out, st_out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(R, mb, max_bpr),
+            in_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, b, c, nb_, sl, pt: (
+                        r // group, c[b[0], i * max_bpr + s], 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, b, c, nb_, sl, pt: (
+                        r // group, c[b[0], i * max_bpr + s], 0)),
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda r, i, s, b, c, nb_, sl, pt: (
+                        b[0], sl[b[0], i * max_bpr + s], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bm, hd_pad), jnp.float32),
+                pltpu.VMEM((bm, 128), jnp.float32),
+                pltpu.VMEM((bm, 128), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R, mb * bm, 128), jnp.float32),
+        ],
+        # alias keys count the scalar-prefetch operands: full operand
+        # order is (band, cols, nblk, slot, part, q, k, v, acc_in,
+        # st_in, pmask) -> acc_in = 8, st_in = 9
+        input_output_aliases={8: 0, 9: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(band, block_cols, nblocks, mask_slot, is_partial, q, k, v,
+      acc_in, st_in, pmask)
+    return acc_out, st_out

@@ -21,11 +21,18 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import many_mask as mm
 from ..ops import batched_panel as bp
+
+# sequence-length crossover for layout="auto": below it the per-kernel
+# fixed cost (custom-call boundaries at µs-scale grids) exceeds the FLOPs
+# sparsity sheds and the dense-masked XLA graph wins; above it the fused
+# flash kernel wins (driver bisect + long-sequence tables, RESULTS.md)
+_XLA_FLASH_CROSSOVER = 1024
 
 __all__ = [
     "SparseCoreAttention",
@@ -118,6 +125,27 @@ class SparseCoreAttention(nn.Module):
         return cached_batched_spec(self.mask_topology, self.num_heads,
                                    bm, bk)
 
+    def _dense_masks(self):
+        """Dense ``[b, s, s]`` 0/1 masks for the ``xla`` layout,
+        reconstructed from the topologies once and device-cached on the
+        mask object (only outside a trace — a trace-created array would
+        be trace-local; inside one the numpy constant is used)."""
+        mt = self.mask_topology
+        np_m = getattr(mt, "_dense_masks_np", None)
+        if np_m is None:
+            np_m = np.stack([t.to_dense_mask() for t in mt.topologies]
+                            ).astype(np.float32)
+            object.__setattr__(mt, "_dense_masks_np", np_m)
+        dev = getattr(mt, "_dense_masks_dev", None)
+        if dev is not None:
+            return dev
+        from ..ops._common import trace_clean
+
+        arr = jnp.asarray(np_m)
+        if trace_clean():
+            object.__setattr__(mt, "_dense_masks_dev", arr)
+        return arr
+
     def __call__(self, q, k, v):
         """q: ``[b, s, heads, head_dim]``; k, v: same, or with fewer
         (grouped-query) KV heads dividing ``heads`` -> ``[b, s, h]``."""
@@ -130,8 +158,31 @@ class SparseCoreAttention(nn.Module):
         # Sub-128 tiles violate the TPU 128-lane minor-dim requirement (they
         # only work in interpret mode) — short sequences take the panel path.
         layout = self.layout
+        if layout == "auto":
+            # shape-dispatched execution: below the crossover the per-
+            # kernel fixed cost (custom-call boundaries at µs-scale
+            # grids) exceeds the FLOPs sparsity sheds, and a fully-
+            # fusable dense-masked XLA graph wins (driver bisect,
+            # RESULTS.md r5); at long sequences the flash kernel wins
+            # outright (8.4x dense at s=32k).
+            layout = "xla" if s < _XLA_FLASH_CROSSOVER else "flash"
         if layout == "flash" and s < 128:
             layout = "panel"
+        if layout == "xla":
+            kv = k.shape[2]
+            if kv != h:
+                if kv == 0 or h % kv:
+                    raise ValueError(f"kv heads {kv} must divide heads {h}")
+                k = jnp.repeat(k, h // kv, axis=2)
+                v = jnp.repeat(v, h // kv, axis=2)
+            mask = self._dense_masks()                    # [b, s, s]
+            scale = 1.0 / float(np.sqrt(hd))
+            sc = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            live = mask[:, None] != 0
+            sc = jnp.where(live, sc, -1e30)
+            w = jax.nn.softmax(sc, axis=-1) * live
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+            return ctx.reshape(b, s, h * hd)
         group = 1
         if k.shape[2] != h:
             kv = k.shape[2]
@@ -165,6 +216,26 @@ class SparseCoreAttention(nn.Module):
 
             blk, blk_k = flash_tiles(s, self.flash_block,
                                      self.flash_block_k)
+            if (self.flash_block == 1024 and not self.flash_block_k
+                    and on_tpu()):
+                # a cached on-chip sweep result overrides the hand
+                # formula automatically (sweeps stay opt-in:
+                # utils.autotune.best_flash_tiles populates the cache)
+                try:
+                    from ..utils import autotune
+
+                    t0 = mt.topologies[0]
+                    hit = autotune.cached_best(
+                        "flash",
+                        autotune.flash_key(
+                            s, h, hd, t0.nnz / max(t0.m * t0.n, 1),
+                            backward=True),
+                        autotune.FLASH_TILE_CANDIDATES)
+                    if hit is not None and max(hit) <= (
+                            1 << (s - 1).bit_length()):
+                        blk, blk_k = hit
+                except Exception:  # pragma: no cover - best-effort
+                    pass
             spec = self._panel_spec(bm=blk, bk=blk_k)
             # device-place the flash metadata on the first eager call so
             # traced steps don't bake it into their compile payload

@@ -302,3 +302,56 @@ def test_gqa_flash_path_native_grouping():
                                atol=1e-4)
     assert gk.shape == k.shape and gv.shape == v.shape
     assert all(np.isfinite(np.asarray(g)).all() for g in (gq, gk, gv))
+
+
+def test_core_attention_xla_and_auto_layouts_match_panel():
+    """layout='xla' (dense-masked, fully-fusable — the sub-crossover
+    dispatch target) matches the kernel layouts bit-for-semantics,
+    including the fully-masked-row zero convention and GQA; 'auto'
+    resolves to it below the crossover."""
+    from sputnik_tpu import many_mask as mm
+    from sputnik_tpu.models import transformer as T
+
+    rng = np.random.RandomState(3)
+    b, s, heads, hd = 2, 64, 4, 16
+    masks = np.stack([np.tril(np.ones((s, s), np.float32)),
+                      (rng.rand(s, s) < 0.4).astype(np.float32)])
+    masks[0, 5, :] = 0.0
+    mt = mm.ManyMaskTopology.from_dense_masks(masks)
+    q = jnp.asarray(rng.randn(b, s, heads, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, s, heads, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, s, heads, hd).astype(np.float32))
+
+    out_p = T.SparseCoreAttention(mask_topology=mt, num_heads=heads,
+                                  layout="panel").apply({}, q, k, v)
+    out_x = jax.jit(lambda a, b_, c: T.SparseCoreAttention(
+        mask_topology=mt, num_heads=heads, layout="xla").apply(
+            {}, a, b_, c))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               atol=1e-4)
+    # masked row -> zeros (the kernels' convention), not NaN
+    row = np.asarray(out_x).reshape(b, s, heads * hd)[0, 5]
+    assert np.abs(row).max() == 0.0
+
+    out_a = T.SparseCoreAttention(mask_topology=mt, num_heads=heads,
+                                  layout="auto").apply({}, q, k, v)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_x),
+                               atol=1e-6)  # auto == xla below crossover
+
+    # GQA through the xla path
+    kvh = heads // 2
+    k2 = jnp.asarray(rng.randn(b, s, kvh, hd).astype(np.float32))
+    v2 = jnp.asarray(rng.randn(b, s, kvh, hd).astype(np.float32))
+    out_gx = T.SparseCoreAttention(mask_topology=mt, num_heads=heads,
+                                   layout="xla").apply({}, q, k2, v2)
+    out_gp = T.SparseCoreAttention(mask_topology=mt, num_heads=heads,
+                                   layout="panel").apply(
+        {}, q, jnp.repeat(k2, 2, axis=2), jnp.repeat(v2, 2, axis=2))
+    np.testing.assert_allclose(np.asarray(out_gx), np.asarray(out_gp),
+                               atol=1e-4)
+
+    # grads flow (dense path is plain XLA autodiff)
+    g = jax.grad(lambda a: jnp.sum(T.SparseCoreAttention(
+        mask_topology=mt, num_heads=heads, layout="xla").apply(
+            {}, a, k, v) ** 2))(q)
+    assert bool(jnp.isfinite(g).all())

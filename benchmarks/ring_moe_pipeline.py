@@ -100,6 +100,38 @@ def tpu_mode():
         bm=fspec.bm, bk=fspec.bk, interpret=_interp())[0])
     out["allgather_shard_kernel_ms"] = round(measure(f_full, q0, kf, vf),
                                              4)
+    # the REAL ring compute total: ndev carried band steps in ONE jit
+    # (the carry kernel folds the cross-band merge in-kernel and aliases
+    # the accumulator in place; on hardware the ppermutes overlap) vs the
+    # single all_gather kernel — the r4 1.4-1.9x launch-overhead gap
+    meta_all = {k: jnp.asarray(getattr(rspec, k)[d])
+                for k in ("block_cols", "nblocks", "mask_slot",
+                          "is_partial_")}
+    pm_all = jnp.asarray(rspec.pmask[d])
+
+    @jax.jit
+    def ring_chain(q, k, v):
+        st0 = jnp.zeros((R, rspec.m_pad_loc, 128), jnp.float32)
+        st0 = st0.at[:, :, 0].set(-1e30)
+        acc0 = jnp.zeros((R, rspec.m_pad_loc, hd_pad), jnp.float32)
+
+        def step(carry, t):
+            acc, stt = carry
+            acc, stt = fs.flash_sparse_ring_band_fwd(
+                t[None].astype(jnp.int32),
+                meta_all["block_cols"], meta_all["nblocks"],
+                meta_all["mask_slot"], meta_all["is_partial_"], pm_all,
+                q, k, v, acc, stt,
+                R=R, mb=rspec.mb, max_bpr=rspec.max_bpr,
+                bm=rspec.bm, bk=rspec.bk, interpret=_interp())
+            return (acc, stt), None
+
+        (acc, stt), _ = jax.lax.scan(step, (acc0, st0),
+                                     jnp.arange(ndev))
+        return acc / jnp.maximum(stt[:, :, 1:2], 1e-30)
+
+    out["ring_total_carry_ms"] = round(measure(ring_chain, q0, kb, vb), 4)
+
     out["ring_bands_per_shard"] = ndev
     band_bytes = 2 * R * n_loc * hd_pad * 4
     out["ring_peak_kv_bytes"] = band_bytes          # ONE band live

@@ -215,6 +215,57 @@ def main():
                          "flash_bwd_dv"), pal, ora):
         record(nm, rel(g, r), 2e-2)
 
+    # ring band-carry kernel: a 2-chunk carried walk over split key
+    # bands must equal the one-shot fused forward (the cross-band merge
+    # lives IN the kernel now — parallel/ring_flash.py)
+    from sputnik_tpu.ops.pallas import flash_sparse as _fs
+    from sputnik_tpu.parallel import RowPartition as _RP
+    from sputnik_tpu.parallel.ring_flash import RingFlashSpec as _RFS
+    from sputnik_tpu.patterns import causal_topology as _ct
+
+    s_r, hd_r, ndev_r = 1024, 64, 2
+    rs = _RFS(_RP(_ct(s_r), ndev_r, bm=128, balance=False),
+              bm=128, bk=128)
+    d_r = ndev_r - 1                      # fullest shard
+    rq = jnp.asarray(rng.randn(2, rs.m_pad_loc, 128).astype(np.float32))
+    rk = jnp.asarray(rng.randn(2, rs.n_loc, 128).astype(np.float32))
+    rk2 = jnp.asarray(rng.randn(2, rs.n_loc, 128).astype(np.float32))
+    rmeta = {k_: jnp.asarray(getattr(rs, k_)[d_r])
+             for k_ in ("block_cols", "nblocks", "mask_slot",
+                        "is_partial_")}
+    rpm = jnp.asarray(rs.pmask[d_r])
+
+    def carry_2band(q_, ka, kb_):
+        st0 = jnp.zeros((2, rs.m_pad_loc, 128), jnp.float32)
+        st0 = st0.at[:, :, 0].set(-1e30)
+        acc = jnp.zeros((2, rs.m_pad_loc, 128), jnp.float32)
+        for band, (kk, vv) in enumerate(((ka, ka), (kb_, kb_))):
+            acc, st0 = _fs.flash_sparse_ring_band_fwd(
+                jnp.asarray([band], jnp.int32),
+                rmeta["block_cols"], rmeta["nblocks"],
+                rmeta["mask_slot"], rmeta["is_partial_"], rpm,
+                q_, kk, vv, acc, st0,
+                R=2, mb=rs.mb, max_bpr=rs.max_bpr,
+                bm=rs.bm, bk=rs.bk, interpret=interp)
+        return acc / jnp.maximum(st0[:, :, 1:2], 1e-30)
+
+    got_carry = jax.jit(carry_2band)(rq, rk, rk2)
+    # oracle: the shard's FULL topology through the one-shot kernel
+    from sputnik_tpu.parallel.flash_sharded import ShardedFlashSpec as _SFS
+
+    fsp = _SFS(_RP(_ct(s_r), ndev_r, bm=128, balance=False),
+               bm=128, bk=128)
+    fmd = {k_: jnp.asarray(getattr(fsp, k_)[d_r][None])
+           for k_ in ("block_cols", "nblocks", "mask_slot",
+                      "is_partial_")}
+    kfull = jnp.concatenate([rk, rk2], axis=1)
+    ref_carry = jax.jit(lambda q_, k_, v_: _fs.flash_sparse_attention_fwd(
+        fmd["block_cols"], fmd["nblocks"], fmd["mask_slot"],
+        fmd["is_partial_"], jnp.asarray(fsp.pmask[d_r][None]),
+        q_, k_, v_, R=2, heads=2, mb=fsp.mb, max_bpr=fsp.max_bpr,
+        bm=fsp.bm, bk=fsp.bk, interpret=interp)[0])(rq, kfull, kfull)
+    record("ring_band_carry", rel(got_carry, ref_carry), 2e-2)
+
     # same grads through the two-kernel fallback (force by zeroing the
     # single-pass accumulator budget) — keeps the transposed-walk kernels
     # on-chip-covered now that the fused pass is the default

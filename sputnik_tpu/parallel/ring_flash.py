@@ -53,6 +53,9 @@ def _slice_columns(topo: SparseTopology, windows) -> SparseTopology:
     CONCATENATED in window order (window w's keys land at local columns
     ``sum(len of earlier windows) + (c - lo_w)``). One window = a
     contiguous band; two = a zigzag chunk pair."""
+    if not windows:
+        raise ValueError("_slice_columns needs at least one [lo, hi) "
+                         "window (nbands >= 1 everywhere in the ring)")
     ro, ci = topo.row_offsets, topo.column_indices
     offs = np.zeros(topo.m + 1, np.int32)
     cols = []
@@ -289,7 +292,14 @@ def _band_take(meta, band):
 def _ring_fwd_local(spec, group, meta_loc, q, k0, v0):
     """Inside shard_map: q [1, R, m_pad_loc, hd_pad] (pre-scaled),
     k0/v0 [1, R_kv, n_loc, hd_pad] (own band). Returns (out, M, L)
-    local plus nothing rotated (bands return home)."""
+    local plus nothing rotated (bands return home).
+
+    One ring step = ONE ``pallas_call``: the carry kernel
+    (``flash_sparse_ring_band_fwd``) continues the online softmax across
+    bands in-kernel on an in-place (aliased) unnormalised accumulator +
+    packed stats — no per-step XLA merge passes and no per-step
+    ``dynamic_index`` metadata copies (the band index is scalar-
+    prefetched into the block index maps)."""
     x = spec.axis
     ndev = spec.part.ndev
     d = jax.lax.axis_index(x)
@@ -299,9 +309,8 @@ def _ring_fwd_local(spec, group, meta_loc, q, k0, v0):
     fwd = [(j, (j + 1) % ndev) for j in range(ndev)]
 
     def step(carry, t):
-        k_cur, v_cur, acc_un, M, L = carry
+        k_cur, v_cur, acc, st = carry
         band = jax.lax.rem(d - t + ndev, ndev)
-        mt = _band_take(meta_loc, band)
         # Issue band t+1's rotation BEFORE the kernel consumes band t:
         # the ppermutes read only the carry (never the kernel output), so
         # the compiled program has no serializing dependency between the
@@ -310,34 +319,26 @@ def _ring_fwd_local(spec, group, meta_loc, q, k0, v0):
         # (tests/test_overlap.py asserts the dataflow independence).
         k_nxt = jax.lax.ppermute(k_cur, x, fwd)
         v_nxt = jax.lax.ppermute(v_cur, x, fwd)
-        out_t, m_t, l_t = fs.flash_sparse_attention_fwd(
-            mt["block_cols"], mt["nblocks"], mt["mask_slot"],
-            mt["is_partial_"], mt["pmask"],
-            q0, k_cur, v_cur,
-            R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
+        acc, st = fs.flash_sparse_ring_band_fwd(
+            band[None].astype(jnp.int32),
+            meta_loc["block_cols"][0], meta_loc["nblocks"][0],
+            meta_loc["mask_slot"][0], meta_loc["is_partial_"][0],
+            meta_loc["pmask"][0],
+            q0, k_cur, v_cur, acc, st,
+            R=R, mb=spec.mb, max_bpr=spec.max_bpr,
             bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
-        # cross-band online-softmax merge (out_t is normalised by l_t):
-        # invariant acc_un = sum_bands exp(m_b - M) * l_b * out_b and
-        # L = sum_bands exp(m_b - M) * l_b, so out = acc_un / L. The
-        # rescale factor on the ACCUMULATOR is exp(M - M_new) alone —
-        # the l factors already live inside acc_un.
-        m_t = m_t[:, :, :1]
-        l_t = l_t[:, :, :1]
-        M_new = jnp.maximum(M, m_t)
-        corr = jnp.exp(M - M_new)
-        new_term = jnp.exp(m_t - M_new) * l_t
-        acc_un = acc_un * corr + out_t * new_term
-        L = L * corr + new_term
-        M = M_new
-        return (k_nxt, v_nxt, acc_un, M, L), None
+        return (k_nxt, v_nxt, acc, st), None
 
+    st0 = jnp.zeros((R, spec.m_pad_loc, 128), jnp.float32)
+    st0 = st0.at[:, :, 0].set(_NEG_LARGE)
     init = (k0[0], v0[0],
             jnp.zeros((R, spec.m_pad_loc, hd_pad), jnp.float32),
-            jnp.full((R, spec.m_pad_loc, 1), _NEG_LARGE, jnp.float32),
-            jnp.zeros((R, spec.m_pad_loc, 1), jnp.float32))
-    (k_end, v_end, acc_un, M, L), _ = jax.lax.scan(
+            st0)
+    (k_end, v_end, acc, st), _ = jax.lax.scan(
         step, init, jnp.arange(ndev))
-    out = acc_un / jnp.maximum(L, 1e-30)
+    M = st[:, :, :1]
+    L = st[:, :, 1:2]
+    out = acc / jnp.maximum(L, 1e-30)
     return out[None], M[None], L[None]
 
 

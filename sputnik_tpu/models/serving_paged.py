@@ -136,6 +136,20 @@ class PagedDecoder(SparseDecoder):
             kv_len1, s_max=self.s_max, bk=self.bk,
             window_blocks=self.window_blocks,
             sink_blocks=self.sink_blocks)
+        # The PHYSICAL table is also step-shared: every layer's pool sees
+        # the same reserve/release/share_prefix calls in the same order
+        # (this class is the only writer), so the page tables are
+        # identical across layers by construction (regression-tested:
+        # test_paged.test_layer_page_tables_identical). Hoisting the
+        # gather + masks out of the layer loop removes 3 * num_layers
+        # XLA ops per decoded token — attribution of the r4 in-scan
+        # paged premium (RESULTS.md).
+        c0 = caches[0]
+        phys = jnp.take_along_axis(
+            c0.page_table, jnp.clip(logical, 0, c0.max_blocks - 1),
+            axis=1)
+        valid = valid0 * (phys >= 0).astype(jnp.int32)
+        phys = jnp.where(valid == 1, phys, c0.dump_page)
 
         new_caches = []
         for i in range(m.num_layers):
@@ -145,11 +159,6 @@ class PagedDecoder(SparseDecoder):
             def attn(q, k, v):
                 nonlocal cache
                 cache = append_fn(cache, self._fold(k), self._fold(v))
-                phys = jnp.take_along_axis(
-                    cache.page_table,
-                    jnp.clip(logical, 0, cache.max_blocks - 1), axis=1)
-                valid = valid0 * (phys >= 0).astype(jnp.int32)
-                phys = jnp.where(valid == 1, phys, cache.dump_page)
                 ctx = pg.paged_attention(
                     self._fold(q), cache, phys, logical, valid,
                     group=self.group, qlen=qlen, scale=scale)

@@ -505,3 +505,49 @@ def test_paged_rollback_per_replica():
     caches3 = dec.rollback(caches2, jnp.asarray([q - 1, 0]))
     kv3 = np.asarray(caches3[0].kv_len)
     np.testing.assert_array_equal(kv3, [P + 1] * HEADS + [P] * HEADS)
+
+
+def test_layer_page_tables_identical():
+    """The decode step hoists the physical table from caches[0]
+    (serving_paged._paged_decode_layers): every layer's pool sees the
+    same host-scheduler calls, so the tables must stay bit-identical
+    through a mixed reserve/decode/release/share/re-admit workload."""
+    import jax
+
+    from sputnik_tpu.models.serving_paged import PagedDecoder
+    from sputnik_tpu.models.transformer import SparseTransformer
+
+    b, s, heads, h = 2, 128, 2, 16
+    masks = np.broadcast_to(np.tril(np.ones((s, s), np.float32)),
+                            (b, s, s)).copy()
+    model = SparseTransformer.from_masks(
+        masks, num_layers=3, hidden_size=h, num_heads=heads,
+        ffn_hidden_size=32, use_residual=True, use_layernorm=True,
+        activation="gelu")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, s, h).astype(np.float32) * 0.3)
+    params = model.init(jax.random.PRNGKey(0), x)
+    dec = PagedDecoder(model, n_pages=16, s_max=256, bk=128,
+                       cache_dtype=jnp.float32)
+    caches = dec.init_caches(b)
+
+    def check(cs):
+        t0 = np.asarray(cs[0].page_table)
+        for c in cs[1:]:
+            np.testing.assert_array_equal(np.asarray(c.page_table), t0)
+
+    _, caches = dec.prefill(params, x, caches)
+    check(caches)
+    tok = jnp.asarray(rng.randn(b, 1, h).astype(np.float32) * 0.3)
+    for _ in range(3):
+        caches = dec.reserve(caches, 1)
+        y, caches = dec.decode_step(params, tok, caches)
+        check(caches)
+    caches = dec.release(caches, 1)
+    check(caches)
+    caches = dec.share_prefix(caches, 0, 1, 128)
+    check(caches)
+    caches = dec.reserve(caches, 1)
+    y, caches = dec.decode_step(params, tok, caches)
+    check(caches)
+    assert np.isfinite(np.asarray(y)).all()

@@ -36,11 +36,32 @@ from ..topology import SparseTopology
 __all__ = ["SparseMoE"]
 
 
-def _bank_tiles(topo: SparseTopology):
+def _bank_tiles(topo: SparseTopology, n_rep: int = 0):
     """Measured on v5e (RESULTS.md r4 MoE): at [4096, 1024] d=0.25 the
     expert bank runs 10x faster on (1024, 1024) tiles than the 128^2
     default (the batched kernel is grid-step-overhead-bound at fat
-    shapes); small dims keep 128 for block granularity."""
+    shapes); small dims keep 128 for block granularity.
+
+    On TPU a cached on-chip sweep result (``utils.autotune.
+    best_bank_tiles``) overrides the hand table automatically when one
+    exists for this shape class — sweeps stay opt-in, applying them is
+    free."""
+    if n_rep:
+        try:
+            from ..ops._common import on_tpu
+            from ..utils import autotune
+
+            if on_tpu():
+                import jax.numpy as jnp
+
+                hit = autotune.cached_best(
+                    "bank", autotune.bank_key(topo, n_rep, jnp.float32),
+                    autotune.BANK_TILE_CANDIDATES)
+                if hit is not None:
+                    return hit
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
+
     def t(d):
         return 1024 if d >= 1024 else (512 if d >= 512 else 128)
 
@@ -54,7 +75,7 @@ def _bank_spec(topo: SparseTopology, n_rep: int, bm: int = 0,
     shared-topology metadata set, ``n_rep`` value replicas — experts are
     exactly the batched-panel replica axis."""
     if not bm or not bk:
-        bm, bk = _bank_tiles(topo)
+        bm, bk = _bank_tiles(topo, n_rep)
     bv = topo.block(bm, bk)
     cached = getattr(bv, "_moe_specs", None)
     if cached is None:

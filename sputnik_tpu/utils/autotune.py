@@ -39,9 +39,10 @@ import numpy as np
 
 from . import profiling
 
-__all__ = ["sweep", "best_spmm_tiles", "best_flash_tiles", "cache_path",
+__all__ = ["sweep", "cached_best", "best_spmm_tiles", "best_flash_tiles",
+           "best_bank_tiles", "flash_key", "bank_key", "cache_path",
            "shape_class", "SPMM_TILE_CANDIDATES",
-           "FLASH_TILE_CANDIDATES"]
+           "FLASH_TILE_CANDIDATES", "BANK_TILE_CANDIDATES"]
 
 # candidate (bm, bk) panel tiles — the measured winners across the
 # RESULTS.md sweeps plus their neighbours; bn is derived per call width
@@ -59,12 +60,19 @@ def cache_path() -> str:
                         "sputnik_tpu", "autotune.json")
 
 
+_memo: dict = {"path": None, "data": None}
+
+
 def _load() -> dict:
+    if _memo["data"] is not None and _memo["path"] == cache_path():
+        return _memo["data"]
     try:
         with open(cache_path()) as f:
-            return json.load(f)
+            data = json.load(f)
     except (OSError, ValueError):
-        return {}
+        data = {}
+    _memo["path"], _memo["data"] = cache_path(), data
+    return data
 
 
 def _store(data: dict) -> None:
@@ -74,6 +82,22 @@ def _store(data: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
     os.replace(tmp, path)
+    _memo["path"], _memo["data"] = path, data
+
+
+def cached_best(op: str, key: str, candidates: Sequence):
+    """READ-ONLY cache lookup: the stored winner for ``(device, op,
+    key)`` if it is still one of ``candidates``, else None. Never runs a
+    sweep — this is the hook the default tile tables consult on TPU so a
+    paid-for sweep applies automatically while un-swept configurations
+    keep the hand-measured fallback."""
+    ent = _load().get(f"{_device_kind()}|{op}|{key}")
+    if not ent:
+        return None
+    reprs = [repr(c) for c in candidates]
+    if ent.get("best") in reprs:
+        return candidates[reprs.index(ent["best"])]
+    return None
 
 
 def _device_kind() -> str:
@@ -188,6 +212,16 @@ FLASH_TILE_CANDIDATES: Tuple[Tuple[int, int], ...] = (
 )
 
 
+def flash_key(s: int, heads: int, hd: int, density: float,
+              backward: bool) -> str:
+    """Cache key for the flash-tile sweep — shared by the sweep and the
+    read-only auto-apply path (``models.transformer``), so they can never
+    drift apart."""
+    return (f"s{int(_bucket(s))}_h{heads}_hd{hd}"
+            f"_d{_bucket(max(density, 1e-4))}"
+            f"_{'train' if backward else 'fwd'}")
+
+
 def best_flash_tiles(mask_topology, heads: int, *, backward: bool = True,
                      hd: int = 64,
                      candidates: Iterable = FLASH_TILE_CANDIDATES,
@@ -213,9 +247,7 @@ def best_flash_tiles(mask_topology, heads: int, *, backward: bool = True,
 
     t0 = mt.topologies[0]
     density = t0.nnz / max(t0.m * t0.n, 1)
-    key = (f"s{int(_bucket(s))}_h{heads}_hd{hd}"
-           f"_d{_bucket(max(density, 1e-4))}"
-           f"_{'train' if backward else 'fwd'}")
+    key = flash_key(s, heads, hd, density, backward)
     rng = np.random.RandomState(0)
     R = mt.b * heads
     mk = lambda: jnp.asarray(                              # noqa: E731
@@ -239,5 +271,61 @@ def best_flash_tiles(mask_topology, heads: int, *, backward: bool = True,
                                  repeats=2)
 
     best, _ = sweep("flash", key, list(candidates), time_candidate,
+                    force=force)
+    return best
+
+
+BANK_TILE_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (128, 128), (512, 512), (1024, 512), (512, 1024), (1024, 1024),
+)
+
+
+def bank_key(topo, n_rep: int, dtype) -> str:
+    density = topo.nnz / max(topo.m * topo.n, 1)
+    return (f"{shape_class(topo.m, topo.n, density, dtype)}"
+            f"_E{int(_bucket(n_rep))}")
+
+
+def best_bank_tiles(topo, n_rep: int, *, dtype=None, q: int = 0,
+                    candidates: Iterable = BANK_TILE_CANDIDATES,
+                    force: bool = False) -> Tuple[int, int]:
+    """Measured-best ``(bm, bk)`` for the MoE expert-bank batched spmm
+    (``batched_panel.spmm_bh`` with ``n_rep`` replicated topologies —
+    ``models/moe._bank_spec``). Off-TPU falls back to the hand table
+    (``models.moe._bank_tiles``). ``q``: dense width (defaults to the
+    bank's own row count, the MoE shape). The winner is auto-applied by
+    ``_bank_tiles`` on TPU via :func:`cached_best`."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.moe import _bank_tiles
+    from ..ops import batched_panel as bp
+
+    dtype = dtype or jnp.float32
+    if jax.devices()[0].platform != "tpu":
+        return _bank_tiles(topo)
+
+    key = bank_key(topo, n_rep, dtype)
+    q = q or max(128, min(1024, topo.m))
+    rng = np.random.RandomState(0)
+    dense = jnp.asarray(
+        rng.randn(n_rep, topo.n, q).astype(np.float32)).astype(dtype)
+
+    def time_candidate(cand):
+        bm, bk = cand
+        if bm > topo.m * 2 or bk > topo.n * 2:
+            return None
+        spec = bp.BatchedPanelSpec([topo], heads=n_rep, bm=bm, bk=bk)
+        bv = topo.block(bm, bk)
+        mask_p = np.zeros(spec.panel_shape, np.float32)
+        mask_p[:, : bv.max_bpr] = np.asarray(bv.mask, np.float32)
+        panels = jnp.asarray(
+            (rng.randn(n_rep, *spec.panel_shape).astype(np.float32)
+             * mask_p[None])).astype(dtype)
+        fn = jax.jit(lambda p, d: bp.spmm_bh(spec, p, d))
+        return profiling.measure(fn, panels, dense,
+                                 iters_lo=5, iters_hi=15, repeats=2)
+
+    best, _ = sweep("bank", key, list(candidates), time_candidate,
                     force=force)
     return best

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import sputnik_tpu as st
 from sputnik_tpu.models import SparseLinear
@@ -176,3 +177,80 @@ def test_autotune_shape_class_buckets():
     b = autotune.shape_class(4100, 4000, 0.11, jnp.float32)
     c = autotune.shape_class(8192, 4096, 0.1, jnp.float32)
     assert a == b and a != c
+
+
+def test_moe_checkpoint_csr_roundtrip():
+    """MoE expert-bank values export to tiling-independent flat CSR and
+    import back bit-identically, dtype preserved (bf16 serving weights)."""
+    import jax
+
+    from sputnik_tpu.models.moe import SparseMoE
+    from sputnik_tpu.patterns import block_random_topology
+    from sputnik_tpu.utils.checkpoint import export_moe_csr, import_moe_csr
+
+    rng = np.random.RandomState(0)
+    h, f, E = 64, 128, 3
+    ti = block_random_topology(f, h, 16, 64, density=0.5, seed=0)
+    to = block_random_topology(h, f, 16, 64, density=0.5, seed=1)
+    moe = SparseMoE(topo_in=ti, topo_out=to, num_experts=E)
+    x = jnp.asarray(rng.randn(2, 8, h).astype(np.float32))
+    params = moe.init(jax.random.PRNGKey(0), x)["params"]
+
+    # bf16 serving weights must stay bf16 through the round trip
+    p16 = dict(params,
+               w_in_values=jnp.asarray(params["w_in_values"],
+                                       jnp.bfloat16),
+               w_out_values=jnp.asarray(params["w_out_values"],
+                                        jnp.bfloat16))
+    blob = export_moe_csr(moe, p16)
+    assert blob["w_in"]["values"].shape == (E, ti.nnz)
+    assert blob["w_in"]["values"].dtype == jnp.bfloat16
+    back = import_moe_csr(moe, blob)
+    np.testing.assert_array_equal(np.asarray(back["w_in_values"]),
+                                  np.asarray(p16["w_in_values"]))
+    np.testing.assert_array_equal(np.asarray(back["w_out_values"]),
+                                  np.asarray(p16["w_out_values"]))
+
+    # wrong expert count / topology rejected
+    moe2 = SparseMoE(topo_in=ti, topo_out=to, num_experts=E + 1)
+    with pytest.raises(ValueError):
+        import_moe_csr(moe2, blob)
+
+
+def test_autotune_cached_best_readonly(tmp_path, monkeypatch):
+    """cached_best applies a stored sweep winner without ever sweeping,
+    tolerates missing/stale entries, and shares keys with the sweeps."""
+    import json
+
+    from sputnik_tpu.utils import autotune
+
+    path = tmp_path / "autotune.json"
+    monkeypatch.setenv("SPUTNIK_AUTOTUNE_CACHE", str(path))
+    autotune._memo["data"] = None   # drop any previously memoized file
+
+    cands = autotune.FLASH_TILE_CANDIDATES
+    key = autotune.flash_key(2048, 8, 64, 0.5, True)
+    assert autotune.cached_best("flash", key, cands) is None  # no file
+
+    dev = autotune._device_kind()
+    path.write_text(json.dumps({
+        f"{dev}|flash|{key}": {"best": repr((512, 1024)), "table": {}},
+        f"{dev}|bank|stale": {"best": "(7, 7)", "table": {}},
+    }))
+    autotune._memo["data"] = None
+    assert autotune.cached_best("flash", key, cands) == (512, 1024)
+    # a winner no longer in the candidate list is ignored, not crashed on
+    assert autotune.cached_best("bank", "stale", cands) is None
+
+    # bank key derivation is stable and shape-classed
+    import sputnik_tpu as st
+    topo = st.SparseTopology.from_dense_mask(
+        (np.random.RandomState(0).rand(256, 128) < 0.25).astype(
+            np.float32))
+    k1 = autotune.bank_key(topo, 8, jnp.float32)
+    assert "m256" in k1 and "_E8" in k1
+
+    # off-TPU the bank tile table falls back to the hand formula
+    from sputnik_tpu.models.moe import _bank_tiles
+    assert _bank_tiles(topo, 8) == (128, 128)
+    autotune._memo["data"] = None

@@ -59,6 +59,12 @@ _state = threading.local()
 def set_backend(name: str) -> None:
     assert name in ("auto", "xla", "pallas"), name
     _state.backend = name
+    try:  # release the flat-dispatch caches (pinned HBM) on a switch
+        from .pallas import dispatch as _dispatch
+
+        _dispatch.flush_caches()
+    except ImportError:  # pragma: no cover
+        pass
 
 
 def get_backend() -> str:

@@ -133,13 +133,27 @@ def _values_panel(spec, values, stream_dt=None):
 # where pinning is the point). Two slots cover the steady-state
 # reuse pattern (same operand across back-to-back calls).
 _CAST_CACHE_SLOTS = 2
+# don't pin casts of huge one-shot activations: above this, a single
+# eager call would keep ~4 large HBM buffers alive until FIFO eviction
+_CAST_CACHE_MAX_BYTES = 64 * 1024 * 1024
 _cast_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+
+
+def flush_caches() -> None:
+    """Drop the cross-call panel and cast caches (releases the pinned
+    HBM buffers). Called by ``sputnik_tpu.set_backend``; safe any time —
+    the caches repopulate on the next eager call."""
+    _panel_cache.clear()
+    _cast_cache.clear()
+    _fn_cache.clear()
 
 
 def _cast_cached(dense, stream_dt):
     if stream_dt is None or dense.dtype == stream_dt:
         return dense
     if not _common.trace_clean() or not isinstance(dense, jax.Array):
+        return dense.astype(stream_dt)
+    if dense.nbytes > _CAST_CACHE_MAX_BYTES:
         return dense.astype(stream_dt)
     key = (id(dense), jnp.dtype(stream_dt).name)
     hit = _cast_cache.get(key)

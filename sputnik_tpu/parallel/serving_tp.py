@@ -288,10 +288,23 @@ class TPDecoder:
             if ck is not None:
                 jits[ck] = fn
                 # per-call callables (decode_loop's next_input lambdas)
-                # legitimately need distinct programs (the closure bakes
-                # in statically) but must not grow the memo unboundedly
-                while len(jits) > 32:
-                    jits.pop(next(iter(jits)))
+                # mint a FRESH key every call; evict those first so the
+                # hot named-method programs (decode_step) never get
+                # flushed out of the memo by a stream of dead entries
+                if len(jits) > 32:
+                    def _ephemeral(k):
+                        return any(
+                            callable(v) and getattr(
+                                v, "__name__", "") == "<lambda>"
+                            for _, v in k[2])
+
+                    for k in list(jits):
+                        if len(jits) <= 32:
+                            break
+                        if k != ck and _ephemeral(k):
+                            jits.pop(k)
+                    while len(jits) > 32:
+                        jits.pop(next(iter(jits)))
         return fn(sparams, x, caches)
 
     def prefill(self, sparams, x, caches):

@@ -157,7 +157,11 @@ def magnitude_prune(topo: SparseTopology, values, *,
             # mis-ordered cubic schedule) still fails loudly.
             import warnings
 
-            margin = max(topo.m, 16)          # ~one row of connections
+            # ~one row's worth of CONNECTIONS (mean nnz per row), not the
+            # row count — for tall sparse matrices m itself can exceed
+            # many rows of connections and silently no-op a real
+            # schedule overshoot
+            margin = max(topo.nnz // max(topo.m, 1), 16)
             if -drop <= margin:
                 warnings.warn(
                     f"magnitude_prune target density {density} is "

@@ -14,7 +14,8 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["save_checkpoint", "restore_checkpoint",
+__all__ = ["export_moe_csr", "import_moe_csr",
+           "save_checkpoint", "restore_checkpoint",
            "export_csr", "import_csr"]
 
 
@@ -82,3 +83,61 @@ def import_csr(layer, blob: dict):
         spec = layer.spec()
         return P.values_to_panel_np(t, vals, spec.bm, spec.bk)
     return vals
+
+
+def _topo_blob(t, vals_flat) -> dict:
+    return {
+        "m": t.m,
+        "n": t.n,
+        "row_offsets": np.asarray(t.row_offsets),
+        "column_indices": np.asarray(t.column_indices[: t.nnz]),
+        "values": vals_flat[..., : t.nnz],
+    }
+
+
+def export_moe_csr(moe, params) -> dict:
+    """``SparseMoE`` expert-bank value params (panel layout ``(E,) +
+    panel_shape``, ``models/moe.py``) -> portable dict of flat CSR arrays
+    per projection (values ``[E, nnz]``), independent of block tiling.
+    Dtype-preserving (the converters are; bf16 serving weights stay
+    bf16)."""
+    return {
+        "w_in": _topo_blob(moe.topo_in,
+                           moe.flat_values(params["w_in_values"], "in")),
+        "w_out": _topo_blob(moe.topo_out,
+                            moe.flat_values(params["w_out_values"], "out")),
+        "num_experts": moe.num_experts,
+    }
+
+
+def import_moe_csr(moe, blob: dict) -> dict:
+    """Portable MoE CSR dict -> panel-layout expert value params for
+    ``moe`` (``{"w_in_values": ..., "w_out_values": ...}``). The MoE's
+    shared topologies must match the stored patterns."""
+    if blob.get("num_experts", moe.num_experts) != moe.num_experts:
+        raise ValueError(
+            f"expert count mismatch: checkpoint {blob['num_experts']} vs "
+            f"moe {moe.num_experts}")
+    out = {}
+    for which, name in (("in", "w_in_values"), ("out", "w_out_values")):
+        t = moe.topo_in if which == "in" else moe.topo_out
+        b = blob[f"w_{which}"]
+        if (b["m"], b["n"]) != (t.m, t.n):
+            raise ValueError(
+                f"w_{which} shape mismatch: checkpoint "
+                f"{b['m']}x{b['n']} vs moe {t.m}x{t.n}")
+        if not np.array_equal(np.asarray(b["row_offsets"]),
+                              t.row_offsets) or \
+                not np.array_equal(np.asarray(b["column_indices"]),
+                                   t.column_indices[: t.nnz]):
+            raise ValueError(f"w_{which} topology mismatch between "
+                             "checkpoint and moe")
+        stored = np.asarray(b["values"])
+        if stored.shape[0] != moe.num_experts:
+            raise ValueError(
+                f"w_{which} expert dim {stored.shape[0]} != "
+                f"{moe.num_experts}")
+        flat = np.zeros((moe.num_experts, t.nnz_pad), stored.dtype)
+        flat[:, : t.nnz] = stored
+        out[name] = moe.panel_values(flat, which)
+    return out

@@ -336,3 +336,27 @@ def test_flat_dispatch_caches():
     c1 = dispatch._cast_cached(arrs[-1], jnp.bfloat16)
     c2 = dispatch._cast_cached(arrs[-1], jnp.bfloat16)
     assert c1 is c2 and c1.dtype == jnp.bfloat16
+
+
+def test_flat_dispatch_cache_flush_and_size_guard():
+    """set_backend flushes the flat-dispatch caches (pinned HBM release +
+    prebuilt-closure staleness); oversized activations are never pinned."""
+    import sputnik_tpu as st
+    from sputnik_tpu.ops.pallas import dispatch
+
+    dispatch._cast_cache.clear()
+    a = jnp.ones((4, 4), jnp.float32)
+    dispatch._cast_cached(a, jnp.bfloat16)
+    assert len(dispatch._cast_cache) == 1
+    st.set_backend("auto")
+    assert len(dispatch._cast_cache) == 0
+    assert len(dispatch._fn_cache) == 0
+
+    old = dispatch._CAST_CACHE_MAX_BYTES
+    dispatch._CAST_CACHE_MAX_BYTES = 8
+    try:
+        c = dispatch._cast_cached(a, jnp.bfloat16)  # 64 bytes > 8
+        assert c.dtype == jnp.bfloat16
+        assert len(dispatch._cast_cache) == 0       # not pinned
+    finally:
+        dispatch._CAST_CACHE_MAX_BYTES = old

@@ -173,6 +173,56 @@ def tpu_mode():
 
         out[f"{tag}_train_ms"] = round(measure(step, params, opt, x), 4)
 
+    # ---- block-structured expert bank: density must buy TIME -------------
+    # isolates the BANK (two projections over the dispatched [E, C, h]
+    # tokens; router/dispatch is identical either way) — dense einsum
+    # anchor vs the batched sparse kernels on element-random (occupancy
+    # ~1.0: the r4 floor) and block-random patterns with kernel tiles ==
+    # block granularity (empty tiles actually skipped)
+    from sputnik_tpu.ops import batched_panel as bp
+    from sputnik_tpu.ops import panel_api as PA
+    from sputnik_tpu.patterns import block_random_topology
+
+    E, C = 8, 1280
+    xe = jnp.asarray(rng.randn(E, h, C).astype(np.float32))
+    w1d = jnp.asarray(rng.randn(E, f, h).astype(np.float32) * 0.02)
+    w2d = jnp.asarray(rng.randn(E, h, f).astype(np.float32) * 0.02)
+
+    @jax.jit
+    def dense_bank(xe, w1, w2):
+        y = jnp.einsum("efh,ehc->efc", w1, xe)
+        y = jax.nn.gelu(y)
+        return jnp.einsum("ehf,efc->ehc", w2, y)
+
+    out["bank_dense_ms"] = round(measure(dense_bank, xe, w1d, w2d), 4)
+
+    def bank_case(tag, t_in, t_out, bm, bk):
+        s1 = bp.BatchedPanelSpec([t_in], heads=E, bm=bm, bk=bk)
+        s2 = bp.BatchedPanelSpec([t_out], heads=E, bm=bm, bk=bk)
+        p1 = jnp.asarray(np.stack([PA.values_to_panel_np(
+            t_in, rng.randn(t_in.nnz_pad).astype(np.float32), bm, bk)
+            for _ in range(E)]))
+        p2 = jnp.asarray(np.stack([PA.values_to_panel_np(
+            t_out, rng.randn(t_out.nnz_pad).astype(np.float32), bm, bk)
+            for _ in range(E)]))
+
+        @jax.jit
+        def sparse_bank(xe, p1, p2):
+            y = bp.spmm_bh(s1, p1, xe)
+            y = jax.nn.gelu(y)
+            return bp.spmm_bh(s2, p2, y[:, : t_out.n])
+
+        out[f"bank_{tag}_ms"] = round(
+            measure(sparse_bank, xe, p1, p2), 4)
+
+    bank_case("elem_d25", topo_in, topo_out, 1024, 1024)
+    for d, tag in ((0.25, "block_d25"), (0.125, "block_d125")):
+        bi = block_random_topology(f, h, 512, 512, density=d, seed=1,
+                                   balanced=False)
+        bo = block_random_topology(h, f, 512, 512, density=d, seed=2,
+                                   balanced=False)
+        bank_case(tag, bi, bo, 512, 512)
+
     # ---- pipeline schedule machinery on chip -----------------------------
     from jax.sharding import Mesh as _M
 

@@ -119,6 +119,11 @@ class SparseMoE(nn.Module):
     activation: Optional[str] = "gelu"
     mesh: Optional[Mesh] = None
     axis: str = "ep"
+    # (bm, bk) kernel tiles for the expert bank; None -> measured table /
+    # autotune cache (_bank_tiles). Set it to the block granularity of a
+    # block-structured expert topology so empty tiles are SKIPPED (the
+    # whole point of block sparsity: time scales with occupancy).
+    bank_tiles: Optional[tuple] = None
 
     def _act(self, y):
         if self.activation == "gelu":
@@ -196,8 +201,9 @@ class SparseMoE(nn.Module):
         # r4 MoE section). The expert bank is one batched-panel op per
         # projection: experts = the replica axis of ``ops/batched_panel``
         # sharing one topology's metadata.
-        spec_in = _bank_spec(self.topo_in, E)
-        spec_out = _bank_spec(self.topo_out, E)
+        bt = self.bank_tiles or (0, 0)
+        spec_in = _bank_spec(self.topo_in, E, *bt)
+        spec_out = _bank_spec(self.topo_out, E, *bt)
         init_in = PA.panel_kaiming_values(self.topo_in, spec_in.bm,
                                           spec_in.bk)
         init_out = PA.panel_kaiming_values(self.topo_out, spec_out.bm,
@@ -224,8 +230,9 @@ class SparseMoE(nn.Module):
 
         def expert_bank(disp, comb, p1, p2, xflat, n_exp):
             """[T,E',C] dispatch over E' (possibly local) experts."""
-            s1 = _bank_spec(self.topo_in, n_exp)
-            s2 = _bank_spec(self.topo_out, n_exp)
+            bt_ = self.bank_tiles or (0, 0)
+            s1 = _bank_spec(self.topo_in, n_exp, *bt_)
+            s2 = _bank_spec(self.topo_out, n_exp, *bt_)
             xin = jnp.einsum("tec,th->ehc", disp, xflat)   # [E', h, C]
             if stream is not None:
                 p1, p2 = p1.astype(stream), p2.astype(stream)
@@ -264,7 +271,8 @@ class SparseMoE(nn.Module):
         """Panel-layout expert values ``[E, *panel]`` -> flat CSR
         ``[E, nnz_pad]`` (host boundary; dtype-preserving)."""
         topo = self.topo_in if which == "in" else self.topo_out
-        spec = _bank_spec(topo, self.num_experts)
+        spec = _bank_spec(topo, self.num_experts,
+                          *(self.bank_tiles or (0, 0)))
         return np.stack([
             PA.panel_to_values_np(topo, np.asarray(p), spec.bm, spec.bk)
             for p in np.asarray(panels)])
@@ -272,7 +280,8 @@ class SparseMoE(nn.Module):
     def panel_values(self, flat, which: str = "in") -> np.ndarray:
         """Inverse of :meth:`flat_values`."""
         topo = self.topo_in if which == "in" else self.topo_out
-        spec = _bank_spec(topo, self.num_experts)
+        spec = _bank_spec(topo, self.num_experts,
+                          *(self.bank_tiles or (0, 0)))
         return np.stack([
             PA.values_to_panel_np(topo, np.asarray(v), spec.bm, spec.bk)
             for v in np.asarray(flat)])

@@ -310,10 +310,25 @@ def _spmm_impl(spec, panels, dense):
     """panels [R, *] x dense [R, n, q] -> [R, m, q]."""
     q = dense.shape[-1]
     if _use_kernels():
-        # 512-wide output tiles pay off well below 2048 (measured:
-        # 1.6x at q=1280 on the MoE bank); tiny widths keep 128
-        bn = 512 if q >= 512 else 128
-        q_pad = _round_up(max(q, 1), bn)
+        # Output-tile width: every column tile RE-STREAMS the whole
+        # values panel (the j grid dim revisits all of a row's blocks),
+        # so the widest VMEM-fitting divisor of the 128-padded width
+        # minimises weight traffic — the r4 512-cap left the MoE bank
+        # restreaming its panels nb times (see RESULTS.md r5 bank
+        # rows). Tiny widths keep 128.
+        q_pad = _round_up(max(q, 1), 128)
+        bn = 128
+        if q >= 512:
+            budget = 48 * 1024 * 1024
+            cand = q_pad
+            while cand >= 512:
+                ws = ((spec.bm + spec.bk) * cand * 4 * 2
+                      + spec.bm * spec.bk * 4 * 2)
+                if q_pad % cand == 0 and ws <= budget:
+                    break
+                cand -= 128
+            bn = max(cand, 512)
+        q_pad = _round_up(q_pad, bn)
         dense_p = _pad_rows(spec, dense, spec.n_pad, q_pad)
         out = _k_spmm_bh(
             _meta_dev(spec)["block_cols"],

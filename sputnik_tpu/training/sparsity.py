@@ -432,7 +432,8 @@ def rigl_update_moe(moe, variables, dense_grads_in, dense_grads_out, *,
 
     for which, gd in (("in", dense_grads_in), ("out", dense_grads_out)):
         topo = moe.topo_in if which == "in" else moe.topo_out
-        spec = _bank_spec(topo, E)
+        spec = _bank_spec(topo, E, *(getattr(moe, "bank_tiles", None)
+                                     or (0, 0)))
         name = f"w_{which}_values"
         flat = moe.flat_values(p[name], which)          # [E, nnz_pad]
         mean_mag = np.abs(flat[:, : topo.nnz]).mean(axis=0)

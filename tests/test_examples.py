@@ -23,6 +23,7 @@ EXAMPLES = [
     ("dynamic_sparse_training.py", ["--small"]),
     ("serve_speculative.py", ["--small"]),
     ("train_moe_transformer.py", ["--small", "--steps", "4"]),
+    ("train_block_sparse.py", ["--small"]),
 ]
 
 

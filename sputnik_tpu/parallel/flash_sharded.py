@@ -206,6 +206,49 @@ def _flash_sh_bwd(spec, scale, group, res, g):
     dcoef = jnp.broadcast_to(
         d_rows[..., None], d_rows.shape + (128,))
 
+    # Single-pass fused backward per shard when the full-key-span dk/dv
+    # accumulators fit VMEM: one kernel produces dq AND the local dk/dv
+    # partials from ONE score recompute (no transposed-walk max_bpc
+    # padding — for causal shards that walk is maximally imbalanced);
+    # partials then psum exactly like the two-kernel path's.
+    from ..ops.fused_attention import _FUSED_BWD_ACC_BYTES
+
+    hd_pad_b = q_p.shape[-1]
+    if 2 * spec.n_pad * hd_pad_b * 4 <= _FUSED_BWD_ACC_BYTES:
+        kb_full = spec.n_pad // spec.bk
+
+        def local_fused(cols, nblk, slot, part, pmask, q, kk, vv, gg,
+                        st, dc):
+            dq, dk, dv = fs.flash_sparse_bwd_fused(
+                cols[0][None], nblk[0][None], slot[0][None],
+                part[0][None], pmask[0][None], q[0], kk, vv, gg[0],
+                st[0], dc[0],
+                R=R, heads=R, mb=spec.mb, kb=kb_full,
+                max_bpr=spec.max_bpr, bm=spec.bm, bk=spec.bk,
+                group=group, interpret=_interp())
+            dk = dk.reshape(dk.shape[0], spec.n_pad, hd_pad_b)
+            dv = dv.reshape(dv.shape[0], spec.n_pad, hd_pad_b)
+            if group > 1:
+                dk = dk.reshape(R // group, group, *dk.shape[1:]).sum(
+                    axis=1)
+                dv = dv.reshape(R // group, group, *dv.shape[1:]).sum(
+                    axis=1)
+            dk = jax.lax.psum(dk, spec.axis)
+            dv = jax.lax.psum(dv, spec.axis)
+            return dq[None], dk, dv
+
+        dq_p, dk_p, dv_p = _smap(
+            spec, local_fused,
+            in_specs=(P(x), P(x), P(x), P(x), P(x), P(x),
+                      P(None, None, None), P(None, None, None),
+                      P(x), P(x), P(x)),
+            out_specs=(P(x), P(None, None, None), P(None, None, None)),
+        )(*_meta_args(spec), q_p, k_p, v_p, g_p, stats, dcoef)
+        dq = (dq_p[:, :, : q_shape[2], :hd] * scale).astype(q_p.dtype)
+        dk = dk_p[:, : k_shape[1], :hd].astype(k_p.dtype)
+        dv = dv_p[:, : v_shape[1], :hd].astype(v_p.dtype)
+        return dq, dk, dv
+
     def local_dq(cols, nblk, slot, part, pmask, q, kk, vv, gg, st, dc):
         dq = fs.flash_sparse_bwd_dq(
             cols[0][None], nblk[0][None], slot[0][None], part[0][None],

@@ -230,3 +230,37 @@ def test_kv_sharded_fallback_full_span(mesh):
     got = np.asarray(out).transpose(1, 0, 2, 3).reshape(R, s, hd)
     ref = _dense_ref(np.broadcast_to(mask, (R, s, s)), q, kv, kv)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_sharded_bwd_fused_matches_two_kernel(mesh):
+    """The per-shard single-pass fused backward (default under the VMEM
+    budget) and the dq+dkv two-kernel fallback produce the same grads."""
+    from sputnik_tpu.ops import fused_attention as fa
+
+    rng = np.random.RandomState(4)
+    s, hd, R = 320, 32, 2
+    mask = np.tril(np.ones((s, s), np.float32))
+    part = RowPartition(st.SparseTopology.from_dense_mask(mask), NDEV,
+                        bm=8, balance=False)
+    spec = ShardedFlashSpec(part, bm=8, bk=128, mesh=mesh, axis="sp")
+    q_sh = jnp.asarray(rng.randn(NDEV, R, s // NDEV, hd).astype(
+        np.float32))
+    k = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(R, s, hd).astype(np.float32))
+
+    def grads():
+        return jax.jit(jax.grad(
+            lambda a, b, c: jnp.sum(
+                flash_attention_sharded(spec, a, b, c) ** 2),
+            argnums=(0, 1, 2)))(q_sh, k, v)
+
+    fused = grads()
+    old = fa._FUSED_BWD_ACC_BYTES
+    fa._FUSED_BWD_ACC_BYTES = 0
+    try:
+        two = grads()
+    finally:
+        fa._FUSED_BWD_ACC_BYTES = old
+    for a, b, nm in zip(fused, two, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, err_msg=nm)

@@ -266,6 +266,55 @@ def main():
         bm=fsp.bm, bk=fsp.bk, interpret=interp)[0])(rq, kfull, kfull)
     record("ring_band_carry", rel(got_carry, ref_carry), 2e-2)
 
+    # ring BACKWARD carry: 2-band carried dq/dk/dv vs the single-pass
+    # fused backward over the concatenated bands (itself oracle-anchored
+    # by the flash_bwd families above)
+    st_f = jax.jit(lambda q_, k_, v_: _fs.flash_sparse_attention_fwd(
+        fmd["block_cols"], fmd["nblocks"], fmd["mask_slot"],
+        fmd["is_partial_"], jnp.asarray(fsp.pmask[d_r][None]),
+        q_, k_, v_, R=2, heads=2, mb=fsp.mb, max_bpr=fsp.max_bpr,
+        bm=fsp.bm, bk=fsp.bk, interpret=interp,
+        packed_stats=True))(rq, kfull, kfull)
+    out_f, stats_f = st_f
+    gg = jnp.asarray(rng.randn(*out_f.shape).astype(np.float32))
+    dco = jnp.broadcast_to(
+        jnp.sum(gg * out_f, axis=-1)[..., None], stats_f.shape)
+
+    def bwd_carry(q_, ka, kb2, g_, stt, dc_):
+        kb_loc = rs.n_loc // rs.bk
+        dq0 = jnp.zeros_like(q_)
+        dk0 = jnp.zeros((2, kb_loc, rs.bk, 128), jnp.float32)
+        dv0 = jnp.zeros_like(dk0)
+        outs = []
+        for band, kk in ((0, ka), (1, kb2)):
+            dq0, dkb, dvb = _fs.flash_sparse_ring_band_bwd(
+                jnp.asarray([band], jnp.int32),
+                rmeta["block_cols"], rmeta["nblocks"],
+                rmeta["mask_slot"], rmeta["is_partial_"], rpm,
+                q_, kk, kk, g_, stt, dc_, dq0, dk0, dv0,
+                R=2, mb=rs.mb, kb=kb_loc, max_bpr=rs.max_bpr,
+                bm=rs.bm, bk=rs.bk, interpret=interp)
+            outs.append((dkb.reshape(2, rs.n_loc, 128),
+                         dvb.reshape(2, rs.n_loc, 128)))
+        dk_cat = jnp.concatenate([outs[0][0], outs[1][0]], axis=1)
+        dv_cat = jnp.concatenate([outs[0][1], outs[1][1]], axis=1)
+        return dq0, dk_cat, dv_cat
+
+    got_b = jax.jit(bwd_carry)(rq, rk, rk2, gg, stats_f, dco)
+    ref_b = jax.jit(lambda q_, k_, g_, stt, dc_: _fs.flash_sparse_bwd_fused(
+        fmd["block_cols"], fmd["nblocks"], fmd["mask_slot"],
+        fmd["is_partial_"], jnp.asarray(fsp.pmask[d_r][None]),
+        q_, k_, k_, g_, stt, dc_,
+        R=2, heads=2, mb=fsp.mb, kb=fsp.n_pad // fsp.bk,
+        max_bpr=fsp.max_bpr, bm=fsp.bm, bk=fsp.bk,
+        interpret=interp))(rq, kfull, gg, stats_f, dco)
+    rdq, rdk, rdv = ref_b
+    rdk = rdk.reshape(2, fsp.n_pad, 128)[:, : 2 * rs.n_loc]
+    rdv = rdv.reshape(2, fsp.n_pad, 128)[:, : 2 * rs.n_loc]
+    record("ring_band_carry_bwd_dq", rel(got_b[0], rdq), 2e-2)
+    record("ring_band_carry_bwd_dk", rel(got_b[1], rdk), 2e-2)
+    record("ring_band_carry_bwd_dv", rel(got_b[2], rdv), 2e-2)
+
     # same grads through the two-kernel fallback (force by zeroing the
     # single-pass accumulator budget) — keeps the transposed-walk kernels
     # on-chip-covered now that the fused pass is the default

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_sparse_attention_fwd", "flash_sparse_bwd_dq",
            "flash_sparse_bwd_dkv", "flash_sparse_bwd_fused",
-           "flash_sparse_ring_band_fwd",
+           "flash_sparse_ring_band_fwd", "flash_sparse_ring_band_bwd",
            "build_flash_meta", "build_flash_bwd_meta"]
 
 _NEG_LARGE = -1e30
@@ -750,3 +750,144 @@ def flash_sparse_ring_band_fwd(
     )(band, block_cols, nblocks, mask_slot, is_partial, q, k, v,
       acc_in, st_in, pmask)
     return acc_out, st_out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "R", "mb", "kb", "max_bpr", "bm", "bk", "interpret"))
+def flash_sparse_ring_band_bwd(
+    band,          # i32[1]
+    block_cols,    # i32[nbands, mb*max_bpr]   (row-major fwd walk)
+    nblocks,       # i32[nbands, mb]
+    mask_slot,     # i32[nbands, mb*max_bpr]
+    is_partial,    # i32[nbands, mb*max_bpr]
+    pmask,         # f32[nbands, n_partial_max, bm, bk]
+    q, k, v, g,    # q/g [R, mb*bm, hd_pad]; k/v [R, kb*bk, hd_pad] (band)
+    stats,         # f32[R, mb*bm, 128]  FINAL lanes 0/1 = m / l
+    dcoef,         # f32[R, mb*bm, 128]
+    dq_in,         # f32[R, mb*bm, hd_pad]        carried (aliased)
+    dk_in,         # f32[R, kb, bk, hd_pad]       carried (aliased)
+    dv_in,         # f32[R, kb, bk, hd_pad]
+    *, R, mb, kb, max_bpr, bm, bk, interpret=False,
+):
+    """One ring-backward step = ONE kernel: recompute this band's score
+    tiles once from the FINAL stats and advance ALL THREE gradient
+    carries in place (dq accumulates across bands; dk/dv accumulate the
+    rotating band accumulator before it ppermutes on). group==1 only —
+    GQA rings keep the two-kernel step (the group-sum changes the dk/dv
+    carry shape)."""
+    hd_pad = q.shape[-1]
+
+    def kernel(band_ref, cols_ref, nblk_ref, slot_ref, part_ref,
+               q_ref, k_ref, v_ref, g_ref, st_ref, d_ref,
+               dqi_ref, dki_ref, dvi_ref, pm_ref,
+               dq_out, dk_out, dv_out,
+               accq, acck, accv):
+        i, s = pl.program_id(1), pl.program_id(2)
+        t = band_ref[0]
+
+        @pl.when(jnp.logical_and(i == 0, s == 0))
+        def _():
+            acck[:] = dki_ref[0]
+            accv[:] = dvi_ref[0]
+
+        @pl.when(s == 0)
+        def _():
+            accq[:] = dqi_ref[0]
+
+        @pl.when(s < nblk_ref[t, i])
+        def _():
+            sc = jax.lax.dot_general(
+                q_ref[0], k_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            partial = part_ref[t, i * max_bpr + s] == 1
+            sc = jnp.where(
+                jnp.logical_and(partial, pm_ref[0, 0] == 0), _NEG_LARGE, sc)
+            m_row = st_ref[0][:, :1]
+            l_row = jnp.maximum(st_ref[0][:, 1:2], 1e-30)
+            p = jnp.exp(sc - m_row) / l_row
+            p = jnp.where(sc <= _NEG_LARGE / 2, 0.0, p)
+            dp = jax.lax.dot_general(
+                g_ref[0], v_ref[0],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - d_ref[0][:, :1])
+            accq[:] += jax.lax.dot(
+                ds, k_ref[0], preferred_element_type=jnp.float32)
+            c = cols_ref[t, i * max_bpr + s]
+            acck[c] += jax.lax.dot_general(
+                ds, q_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accv[c] += jax.lax.dot_general(
+                p, g_ref[0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(s == max_bpr - 1)
+        def _():
+            dq_out[0] = accq[:]
+
+        @pl.when(jnp.logical_and(i == mb - 1, s == max_bpr - 1))
+        def _():
+            dk_out[0] = acck[:]
+            dv_out[0] = accv[:]
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(R, mb, max_bpr),
+            in_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, b, c, nb_, sl, pt: (
+                        r, c[b[0], i * max_bpr + s], 0)),
+                pl.BlockSpec(
+                    (1, bk, hd_pad),
+                    lambda r, i, s, b, c, nb_, sl, pt: (
+                        r, c[b[0], i * max_bpr + s], 0)),
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, kb, bk, hd_pad),
+                             lambda r, i, s, *p: (r, 0, 0, 0)),
+                pl.BlockSpec((1, kb, bk, hd_pad),
+                             lambda r, i, s, *p: (r, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, 1, bm, bk),
+                    lambda r, i, s, b, c, nb_, sl, pt: (
+                        b[0], sl[b[0], i * max_bpr + s], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
+                pl.BlockSpec((1, kb, bk, hd_pad),
+                             lambda r, i, s, *p: (r, 0, 0, 0)),
+                pl.BlockSpec((1, kb, bk, hd_pad),
+                             lambda r, i, s, *p: (r, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bm, hd_pad), jnp.float32),
+                pltpu.VMEM((kb, bk, hd_pad), jnp.float32),
+                pltpu.VMEM((kb, bk, hd_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R, kb, bk, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((R, kb, bk, hd_pad), jnp.float32),
+        ],
+        # alias keys count the 5 scalar-prefetch operands: full order is
+        # (band, cols, nblk, slot, part, q, k, v, g, stats, dcoef,
+        # dq_in, dk_in, dv_in, pmask) -> dq_in=11, dk_in=12, dv_in=13
+        input_output_aliases={11: 0, 12: 1, 13: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(band, block_cols, nblocks, mask_slot, is_partial, q, k, v, g,
+      stats, dcoef, dq_in, dk_in, dv_in, pmask)
+    return dq, dk, dv

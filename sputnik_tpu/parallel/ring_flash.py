@@ -406,10 +406,11 @@ def _ring_b(spec, group, res, g):
         q0, g0, st0, dc0 = q[0], gg[0], st[0], dc[0]
         fwd_perm = [(j, (j + 1) % ndev) for j in range(ndev)]
 
+        kb_loc = spec.n_loc // spec.bk
+
         def step(carry, t):
             k_cur, v_cur, dk_cur, dv_cur, dq_acc = carry
             band = jax.lax.rem(d - t + ndev, ndev)
-            mt = _band_take(meta_loc, band)
             # K/V rotation depends only on the carry — in flight while
             # the backward kernels run. The dk/dv rotation below cannot
             # be hoisted: this band's gradient contribution must board
@@ -417,32 +418,52 @@ def _ring_b(spec, group, res, g):
             # factors: ring bwd is half-overlappable).
             k_nxt = jax.lax.ppermute(k_cur, x, fwd_perm)
             v_nxt = jax.lax.ppermute(v_cur, x, fwd_perm)
-            dq_t = fs.flash_sparse_bwd_dq(
-                mt["block_cols"], mt["nblocks"], mt["mask_slot"],
-                mt["is_partial_"], mt["pmask"],
-                q0, k_cur, v_cur, g0, st0, dc0,
-                R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
-                bm=spec.bm, bk=spec.bk, group=group,
-                interpret=_interp())
-            dk_t, dv_t = fs.flash_sparse_bwd_dkv(
-                mt["t_src_i"], mt["t_nblocks"], mt["t_mask_slot"],
-                mt["t_is_partial"], mt["pmask"],
-                q0, k_cur, v_cur, g0, st0, dc0,
-                R=R, heads=R, kb=spec.kb_loc, max_bpc=spec.max_bpc,
-                bm=spec.bm, bk=spec.bk, group=group,
-                interpret=_interp())
-            if group > 1:
+            if group == 1:
+                # one ring-backward step = ONE kernel: all three
+                # gradient carries advance in place (aliased), band
+                # metadata scalar-prefetched from the stacked tables
+                dq_acc, dk_cur, dv_cur = fs.flash_sparse_ring_band_bwd(
+                    band[None].astype(jnp.int32),
+                    meta_loc["block_cols"][0], meta_loc["nblocks"][0],
+                    meta_loc["mask_slot"][0],
+                    meta_loc["is_partial_"][0], meta_loc["pmask"][0],
+                    q0, k_cur, v_cur, g0, st0, dc0,
+                    dq_acc,
+                    dk_cur.reshape(R, kb_loc, spec.bk, hd_pad),
+                    dv_cur.reshape(R, kb_loc, spec.bk, hd_pad),
+                    R=R, mb=spec.mb, kb=kb_loc,
+                    max_bpr=spec.max_bpr, bm=spec.bm, bk=spec.bk,
+                    interpret=_interp())
+                dk_cur = dk_cur.reshape(R, spec.n_loc, hd_pad)
+                dv_cur = dv_cur.reshape(R, spec.n_loc, hd_pad)
+            else:
+                mt = _band_take(meta_loc, band)
+                dq_t = fs.flash_sparse_bwd_dq(
+                    mt["block_cols"], mt["nblocks"], mt["mask_slot"],
+                    mt["is_partial_"], mt["pmask"],
+                    q0, k_cur, v_cur, g0, st0, dc0,
+                    R=R, heads=R, mb=spec.mb, max_bpr=spec.max_bpr,
+                    bm=spec.bm, bk=spec.bk, group=group,
+                    interpret=_interp())
+                dk_t, dv_t = fs.flash_sparse_bwd_dkv(
+                    mt["t_src_i"], mt["t_nblocks"], mt["t_mask_slot"],
+                    mt["t_is_partial"], mt["pmask"],
+                    q0, k_cur, v_cur, g0, st0, dc0,
+                    R=R, heads=R, kb=spec.kb_loc, max_bpc=spec.max_bpc,
+                    bm=spec.bm, bk=spec.bk, group=group,
+                    interpret=_interp())
                 dk_t = dk_t.reshape(R // group, group,
                                     *dk_t.shape[1:]).sum(axis=1)
                 dv_t = dv_t.reshape(R // group, group,
                                     *dv_t.shape[1:]).sum(axis=1)
-            dk_cur = dk_cur + dk_t
-            dv_cur = dv_cur + dv_t
+                dk_cur = dk_cur + dk_t
+                dv_cur = dv_cur + dv_t
+                dq_acc = dq_acc + dq_t
             # rotate the accumulated gradient with its band — after the
             # full cycle each band's dk/dv is home
             dk_nxt = jax.lax.ppermute(dk_cur, x, fwd_perm)
             dv_nxt = jax.lax.ppermute(dv_cur, x, fwd_perm)
-            return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc + dq_t), None
+            return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc), None
 
         R_kv = kk.shape[1]
         init = (kk[0], vv[0],

@@ -132,6 +132,60 @@ def tpu_mode():
 
     out["ring_total_carry_ms"] = round(measure(ring_chain, q0, kb, vb), 4)
 
+    # backward totals: ndev carried bwd steps (one kernel each) vs the
+    # single-pass fused backward over the gathered full key span
+    meta_f = {k: jnp.asarray(getattr(fspec, k)[d][None])
+              for k in ("block_cols", "nblocks", "mask_slot",
+                        "is_partial_")}
+    pm_f = jnp.asarray(fspec.pmask[d][None])
+    o_st = jax.jit(lambda q, k, v: fs.flash_sparse_attention_fwd(
+        meta_f["block_cols"], meta_f["nblocks"], meta_f["mask_slot"],
+        meta_f["is_partial_"], pm_f, q, k, v,
+        R=R, heads=R, mb=fspec.mb, max_bpr=fspec.max_bpr,
+        bm=fspec.bm, bk=fspec.bk, interpret=_interp(),
+        packed_stats=True))(q0, kf, vf)
+    out_f, stats_f = o_st
+    gq = jnp.asarray(rng.randn(*np.asarray(out_f).shape).astype(
+        np.float32))
+    dco = jnp.broadcast_to(
+        jnp.sum(gq * out_f, axis=-1)[..., None], stats_f.shape)
+
+    kb_loc = rspec.n_loc // rspec.bk
+
+    @jax.jit
+    def ring_bwd_chain(q, k, v, g, stt, dc):
+        dq0 = jnp.zeros_like(q)
+        dk0 = jnp.zeros((R, kb_loc, rspec.bk, hd_pad), jnp.float32)
+        dv0 = jnp.zeros_like(dk0)
+
+        def step(carry, t):
+            dq, dk, dv = carry
+            dq, dk, dv = fs.flash_sparse_ring_band_bwd(
+                t[None].astype(jnp.int32),
+                meta_all["block_cols"], meta_all["nblocks"],
+                meta_all["mask_slot"], meta_all["is_partial_"], pm_all,
+                q, k, v, g, stt, dc, dq, dk, dv,
+                R=R, mb=rspec.mb, kb=kb_loc, max_bpr=rspec.max_bpr,
+                bm=rspec.bm, bk=rspec.bk, interpret=_interp())
+            return (dq, dk, dv), None
+
+        (dq, dk, dv), _ = jax.lax.scan(step, (dq0, dk0, dv0),
+                                       jnp.arange(ndev))
+        return dq, dk, dv
+
+    out["ring_bwd_total_carry_ms"] = round(
+        measure(ring_bwd_chain, q0, kb, vb, gq, stats_f, dco), 4)
+
+    f_bwd_full = jax.jit(
+        lambda q, k, v, g, stt, dc: fs.flash_sparse_bwd_fused(
+            meta_f["block_cols"], meta_f["nblocks"], meta_f["mask_slot"],
+            meta_f["is_partial_"], pm_f, q, k, v, g, stt, dc,
+            R=R, heads=R, mb=fspec.mb, kb=fspec.n_pad // fspec.bk,
+            max_bpr=fspec.max_bpr, bm=fspec.bm, bk=fspec.bk,
+            interpret=_interp()))
+    out["allgather_bwd_fused_ms"] = round(
+        measure(f_bwd_full, q0, kf, vf, gq, stats_f, dco), 4)
+
     out["ring_bands_per_shard"] = ndev
     band_bytes = 2 * R * n_loc * hd_pad * 4
     out["ring_peak_kv_bytes"] = band_bytes          # ONE band live

@@ -454,6 +454,42 @@ def _flash_sh_kv_bwd(spec, scale, group, res, g):
     d_rows = jnp.sum(g * out, axis=-1)
     dcoef = jnp.broadcast_to(d_rows[..., None], d_rows.shape + (128,))
 
+    sh = (P(x),) * 5
+    from ..ops.fused_attention import _FUSED_BWD_ACC_BYTES
+
+    hd_pad_b = q_p.shape[-1]
+    if 2 * spec.n_pad * hd_pad_b * 4 <= _FUSED_BWD_ACC_BYTES:
+        # single-pass fused backward per shard: dq + dk/dv partials from
+        # one score recompute, no transposed-walk max_bpc padding. dk/dv
+        # stay UN-psummed in globally-indexed buffer coords — the halo
+        # assembly's VJP (outside this custom_vjp) sums overlapping halo
+        # contributions via reverse ppermutes, exactly as before.
+        def local_fused(cols, nblk, slot, part, pmask, q, kk, vv, gg,
+                        st, dc):
+            dq, dk, dv = fs.flash_sparse_bwd_fused(
+                cols[0][None], nblk[0][None], slot[0][None],
+                part[0][None], pmask[0][None], q[0], kk[0], vv[0],
+                gg[0], st[0], dc[0],
+                R=R, heads=R, mb=spec.mb, kb=spec.kb,
+                max_bpr=spec.max_bpr, bm=spec.bm, bk=spec.bk,
+                group=group, interpret=_interp())
+            dk = dk.reshape(dk.shape[0], spec.n_pad, hd_pad_b)
+            dv = dv.reshape(dv.shape[0], spec.n_pad, hd_pad_b)
+            if group > 1:
+                dk = dk.reshape(R // group, group, *dk.shape[1:]).sum(
+                    axis=1)
+                dv = dv.reshape(R // group, group, *dv.shape[1:]).sum(
+                    axis=1)
+            return dq[None], dk[None], dv[None]
+
+        dq_p, dk_b, dv_b = _smap(
+            spec, local_fused,
+            in_specs=sh + (P(x), P(x), P(x), P(x), P(x), P(x)),
+            out_specs=(P(x), P(x), P(x)),
+        )(*_meta_args(spec), q_p, kbuf, vbuf, g, stats, dcoef)
+        return dq_p.astype(q_p.dtype), dk_b.astype(kbuf.dtype), \
+            dv_b.astype(vbuf.dtype)
+
     def local_dq(cols, nblk, slot, part, pmask, q, kk, vv, gg, st, dc):
         dq = fs.flash_sparse_bwd_dq(
             cols[0][None], nblk[0][None], slot[0][None], part[0][None],
@@ -462,7 +498,6 @@ def _flash_sh_kv_bwd(spec, scale, group, res, g):
             bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
         return dq[None]
 
-    sh = (P(x),) * 5
     dq_p = _smap(
         spec, local_dq,
         in_specs=sh + (P(x), P(x), P(x), P(x), P(x), P(x)),
@@ -780,34 +815,67 @@ def _flash_kv_ov_bwd(spec, n_loc, group, res, g):
     d_rows = jnp.sum(g * out, axis=-1)
     dcoef = jnp.broadcast_to(d_rows[..., None], d_rows.shape + (128,))
 
+    from ..ops.fused_attention import _FUSED_BWD_ACC_BYTES
+
+    hd_pad_b = q_p.shape[-1]
+    kb_i = st["kb_i"]
+    use_fused = (2 * (kb_i + spec.kb) * spec.bk * hd_pad_b * 4
+                 <= _FUSED_BWD_ACC_BYTES)
+
     def local(*args):
         md = dict(zip(keys, args[: len(keys)]))
         q, kl, kb_, vl, vb, gg, stt, dc = args[len(keys):]
         q0, g0, st0, dc0 = q[0], gg[0], stt[0], dc[0]
-        dq = fs.flash_sparse_bwd_dq(
-            md["i_block_cols"][0][None], md["i_nblocks"][0][None],
-            md["i_mask_slot"][0][None], md["i_is_partial"][0][None],
-            md["i_pmask"][0][None], q0, kl[0], vl[0], g0, st0, dc0,
-            R=R, heads=R, mb=spec.mb, max_bpr=st["i"]["max_bpr"],
-            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
-        dq = dq + fs.flash_sparse_bwd_dq(
-            md["h_block_cols"][0][None], md["h_nblocks"][0][None],
-            md["h_mask_slot"][0][None], md["h_is_partial"][0][None],
-            md["h_pmask"][0][None], q0, kb_[0], vb[0], g0, st0, dc0,
-            R=R, heads=R, mb=spec.mb, max_bpr=st["h"]["max_bpr"],
-            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
-        dk_l, dv_l = fs.flash_sparse_bwd_dkv(
-            md["i_t_src_i"][0][None], md["i_t_nblocks"][0][None],
-            md["i_t_mask_slot"][0][None], md["i_t_is_partial"][0][None],
-            md["i_pmask"][0][None], q0, kl[0], vl[0], g0, st0, dc0,
-            R=R, heads=R, kb=st["kb_i"], max_bpc=st["i"]["max_bpc"],
-            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
-        dk_b, dv_b = fs.flash_sparse_bwd_dkv(
-            md["h_t_src_i"][0][None], md["h_t_nblocks"][0][None],
-            md["h_t_mask_slot"][0][None], md["h_t_is_partial"][0][None],
-            md["h_pmask"][0][None], q0, kb_[0], vb[0], g0, st0, dc0,
-            R=R, heads=R, kb=spec.kb, max_bpc=st["h"]["max_bpc"],
-            bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+        if use_fused:
+            # one fused pass per sub-topology (interior, halo): dq sums,
+            # dk/dv come back per respective K/V buffer — 2 kernels
+            # instead of 4, no transposed-walk padding
+            dq, dk_l, dv_l = fs.flash_sparse_bwd_fused(
+                md["i_block_cols"][0][None], md["i_nblocks"][0][None],
+                md["i_mask_slot"][0][None], md["i_is_partial"][0][None],
+                md["i_pmask"][0][None], q0, kl[0], vl[0], g0, st0, dc0,
+                R=R, heads=R, mb=spec.mb, kb=kb_i,
+                max_bpr=st["i"]["max_bpr"], bm=spec.bm, bk=spec.bk,
+                group=group, interpret=_interp())
+            dq2, dk_b, dv_b = fs.flash_sparse_bwd_fused(
+                md["h_block_cols"][0][None], md["h_nblocks"][0][None],
+                md["h_mask_slot"][0][None], md["h_is_partial"][0][None],
+                md["h_pmask"][0][None], q0, kb_[0], vb[0], g0, st0, dc0,
+                R=R, heads=R, mb=spec.mb, kb=spec.kb,
+                max_bpr=st["h"]["max_bpr"], bm=spec.bm, bk=spec.bk,
+                group=group, interpret=_interp())
+            dq = dq + dq2
+            dk_l = dk_l.reshape(dk_l.shape[0], kb_i * spec.bk, hd_pad_b)
+            dv_l = dv_l.reshape(dv_l.shape[0], kb_i * spec.bk, hd_pad_b)
+            dk_b = dk_b.reshape(dk_b.shape[0], spec.n_pad, hd_pad_b)
+            dv_b = dv_b.reshape(dv_b.shape[0], spec.n_pad, hd_pad_b)
+        else:
+            dq = fs.flash_sparse_bwd_dq(
+                md["i_block_cols"][0][None], md["i_nblocks"][0][None],
+                md["i_mask_slot"][0][None], md["i_is_partial"][0][None],
+                md["i_pmask"][0][None], q0, kl[0], vl[0], g0, st0, dc0,
+                R=R, heads=R, mb=spec.mb, max_bpr=st["i"]["max_bpr"],
+                bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+            dq = dq + fs.flash_sparse_bwd_dq(
+                md["h_block_cols"][0][None], md["h_nblocks"][0][None],
+                md["h_mask_slot"][0][None], md["h_is_partial"][0][None],
+                md["h_pmask"][0][None], q0, kb_[0], vb[0], g0, st0, dc0,
+                R=R, heads=R, mb=spec.mb, max_bpr=st["h"]["max_bpr"],
+                bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+            dk_l, dv_l = fs.flash_sparse_bwd_dkv(
+                md["i_t_src_i"][0][None], md["i_t_nblocks"][0][None],
+                md["i_t_mask_slot"][0][None],
+                md["i_t_is_partial"][0][None],
+                md["i_pmask"][0][None], q0, kl[0], vl[0], g0, st0, dc0,
+                R=R, heads=R, kb=st["kb_i"], max_bpc=st["i"]["max_bpc"],
+                bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
+            dk_b, dv_b = fs.flash_sparse_bwd_dkv(
+                md["h_t_src_i"][0][None], md["h_t_nblocks"][0][None],
+                md["h_t_mask_slot"][0][None],
+                md["h_t_is_partial"][0][None],
+                md["h_pmask"][0][None], q0, kb_[0], vb[0], g0, st0, dc0,
+                R=R, heads=R, kb=spec.kb, max_bpc=st["h"]["max_bpc"],
+                bm=spec.bm, bk=spec.bk, group=group, interpret=_interp())
         if group > 1:
             gsum = lambda a: a.reshape(                     # noqa: E731
                 R // group, group, *a.shape[1:]).sum(axis=1)

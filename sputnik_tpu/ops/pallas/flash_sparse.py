@@ -64,6 +64,11 @@ def build_flash_meta(views):
         sl = np.zeros((mb, max_bpr), np.int32)
         pt = np.zeros((mb, max_bpr), np.int32)
         pm = []
+        seen: dict = {}   # tile bytes -> compacted slot: banded/causal
+        # topologies repeat the same few partial patterns down the
+        # diagonal — without dedup a banded s=32k mask stores hundreds
+        # of identical multi-MB tiles (268 MB of pmask and an HTTP-413
+        # remote-compile payload; ~2 unique tiles after dedup)
         cur = 0
         for i in range(mb):
             nb = int(v.nblocks[i])
@@ -73,8 +78,12 @@ def build_flash_meta(views):
                 if s < nb:
                     tile = v.mask[i, s]
                     if not tile.all():
-                        pm.append(tile.astype(np.float32))
-                        cur = len(pm) - 1
+                        key = tile.tobytes()
+                        hit = seen.get(key)
+                        if hit is None:
+                            pm.append(tile.astype(np.float32))
+                            hit = seen[key] = len(pm) - 1
+                        cur = hit
                         sl[i, s] = cur
                         pt[i, s] = 1
                     else:

@@ -84,3 +84,18 @@ def tile_n(q_pad: int, cap: int = 512) -> int:
         if bn <= cap and q_pad % bn == 0:
             return bn
     return 128
+
+
+def vmem_request(*block_elems: int, itemsize: int = 4) -> int:
+    """Scoped-VMEM request sized to the kernel's working set
+    (double-buffered blocks + headroom), clamped to [32, 100] MB.
+
+    Measured r5 (driver-shape panel chain, interleaved A/B): a blanket
+    100 MB request is 1.8x SLOWER than a sized one on small-tile grids —
+    Mosaic trades pipelining for the reservation. The 16 MB default is
+    not an option either: it rejects the big-tile kernels on hardware
+    only (the r4 MoE OOM class). Pass the per-block ELEMENT counts of
+    the kernel's inputs, outputs, and scratches.
+    """
+    mb_ = (2 * itemsize * sum(block_elems)) // (1024 * 1024) + 8
+    return max(32, min(100, mb_)) * 1024 * 1024

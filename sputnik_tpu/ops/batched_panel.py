@@ -36,6 +36,15 @@ __all__ = ["BatchedPanelSpec", "spmm_bh", "sddmm_bh", "sparse_softmax_bh"]
 
 _NEG_LARGE = -1e30
 
+# Scoped-VMEM request for the batched kernels. 100 MB was applied
+# blanket in r4 for the MoE bank's big tiles (16 MB default rejected
+# them on hardware); measured r5: the request size changes Mosaic's
+# scheduling, so it is now a per-call static arg — big-tile calls ask
+# big, small-tile calls keep the lean request.
+def _vmem_for(*tile_elems) -> int:
+    need = 8 * sum(tile_elems)          # double-buffered f32 blocks
+    return max(32, min(100, need // (1024 * 1024) + 8)) * 1024 * 1024
+
 
 class BatchedPanelSpec:
     """Static bundle for ``B`` same-shape topologies x ``heads`` replicas."""
@@ -113,9 +122,10 @@ class BatchedPanelSpec:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "heads", "mb", "max_bpr", "bm", "bk", "bn", "interpret"))
+    "R", "heads", "mb", "max_bpr", "bm", "bk", "bn", "interpret",
+    "vmem"))
 def _k_spmm_bh(cols, nblk, panels, dense, *, R, heads, mb, max_bpr,
-               bm, bk, bn, interpret):
+               bm, bk, bn, interpret, vmem=100 * 1024 * 1024):
     n_pad = dense.shape[-1]
     nb = n_pad // bn
 
@@ -159,16 +169,17 @@ def _k_spmm_bh(cols, nblk, panels, dense, *, R, heads, mb, max_bpr,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(cols, nblk, panels, dense)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "heads", "mb", "max_bpr", "bm", "bk", "bd", "interpret"))
+    "R", "heads", "mb", "max_bpr", "bm", "bk", "bd", "interpret",
+    "vmem"))
 def _k_sddmm_bh(cols, nblk, mask, lhs, rhs, *, R, heads, mb, max_bpr,
-                bm, bk, bd, interpret):
+                bm, bk, bd, interpret, vmem=100 * 1024 * 1024):
     d_pad = lhs.shape[-1]
     dt = d_pad // bd
 
@@ -219,16 +230,17 @@ def _k_sddmm_bh(cols, nblk, mask, lhs, rhs, *, R, heads, mb, max_bpr,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(cols, nblk, mask, lhs, rhs)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "heads", "kb", "max_bpc", "bm", "bk", "bq", "interpret"))
+    "R", "heads", "kb", "max_bpc", "bm", "bk", "bq", "interpret",
+    "vmem"))
 def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
-                 bm, bk, bq, interpret):
+                 bm, bk, bq, interpret, vmem=100 * 1024 * 1024):
     q_pad = g.shape[-1]
     qb = q_pad // bq
 
@@ -274,7 +286,7 @@ def _k_spmm_t_bh(ti, ts, tn, panels, g, *, R, heads, kb, max_bpc,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem,
         ),
         interpret=interpret,
     )(ti, ts, tn, panels, g)
@@ -336,7 +348,9 @@ def _spmm_impl(spec, panels, dense):
             panels, dense_p,
             R=spec.R, heads=spec.heads, mb=spec.mb,
             max_bpr=spec.max_bpr, bm=spec.bm, bk=spec.bk, bn=bn,
-            interpret=_interp())
+            interpret=_interp(),
+            vmem=_vmem_for(spec.bm * spec.bk, spec.bk * bn,
+                           spec.bm * bn))
         return out[:, : spec.m, :q]
     # oracle: per-replica gather/segment formulation
     nnz_pad = max(t.nnz_pad for t in spec.topologies)
@@ -364,7 +378,9 @@ def _spmm_t_impl(spec, panels, g_r):
             panels, g_p,
             R=spec.R, heads=spec.heads, kb=spec.kb,
             max_bpc=spec.max_bpc, bm=spec.bm, bk=spec.bk, bq=bq,
-            interpret=_interp())
+            interpret=_interp(),
+            vmem=_vmem_for(spec.bm * spec.bk, spec.bm * bq,
+                           spec.bk * bq))
         return out[:, : spec.n, :q]
     nnz_pad = max(t.nnz_pad for t in spec.topologies)
     vals = spec.unstack_values(panels, nnz_pad)
@@ -393,7 +409,9 @@ def _sddmm_impl(spec, lhs_r, rhs_r):
             lhs_p, rhs_p,
             R=spec.R, heads=spec.heads, mb=spec.mb,
             max_bpr=spec.max_bpr, bm=spec.bm, bk=spec.bk, bd=bd,
-            interpret=_interp())
+            interpret=_interp(),
+            vmem=_vmem_for(spec.bm * spec.bk, spec.bm * bd,
+                           spec.bk * bd))
     outs = []
     for r in range(spec.R):
         t = spec.topologies[r // spec.heads]

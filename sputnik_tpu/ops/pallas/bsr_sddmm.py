@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 __all__ = ["bsr_sddmm_panel", "bsr_sddmm"]
 
 
@@ -105,7 +107,7 @@ def bsr_sddmm_panel(
         out_shape=jax.ShapeDtypeStruct((mb, max_bpr, bm, bk), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(bm * bd, bk * bd, 3 * bm * bk),
         ),
         interpret=interpret,
     )(block_cols, nblocks, lhs, rhs, mask)

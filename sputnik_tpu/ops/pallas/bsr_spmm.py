@@ -25,6 +25,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 __all__ = ["bsr_spmm_panel", "bsr_spmm_panel_sel", "bsr_spmm"]
 
 
@@ -128,7 +130,7 @@ def bsr_spmm_panel(
         out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(bm * bk, bk * bn, 2 * bm * bn),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops * bm * bk * n_pad,
@@ -226,7 +228,7 @@ def bsr_spmm_panel_sel(
         out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(bm * bk, bk * bn, 2 * bm * bn),
         ),
         interpret=interpret,
     )(block_cols, nblocks, slot_sel, values_panel, dense)

@@ -22,6 +22,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 __all__ = ["quantize_panel_np", "bsr_spmm_panel_int8",
            "bsr_spmm_t_panel_int8", "bsr_sddmm_panel_int8"]
 
@@ -99,6 +101,7 @@ def bsr_spmm_panel_int8(
         out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_vm(bm * bk, bk * bn, 2 * bm * bn),
         ),
         interpret=interpret,
     )(block_cols, nblocks, values_q, scales, dense)
@@ -184,7 +187,7 @@ def bsr_spmm_t_panel_int8(
         out_shape=jax.ShapeDtypeStruct((kb * bk, q_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(bm * bk, bm * bq, 2 * bk * bq),
         ),
         interpret=interpret,
     )(t_src_i, t_src_s, t_nblocks, values_q, scales, g)
@@ -259,7 +262,7 @@ def bsr_sddmm_panel_int8(
         out_shape=jax.ShapeDtypeStruct((mb, max_bpr, bm, bk), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(bm * bd, bk * bd, 3 * bm * bk),
         ),
         interpret=interpret,
     )(block_cols, nblocks, lhs, rhs, mask)

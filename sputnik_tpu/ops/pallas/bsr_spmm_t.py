@@ -19,6 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 __all__ = ["bsr_spmm_t_panel"]
 
 
@@ -100,7 +102,7 @@ def bsr_spmm_t_panel(
         out_shape=jax.ShapeDtypeStruct((kb * bk, q_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(bm * bk, bm * bq, 2 * bk * bq),
         ),
         interpret=interpret,
     )(t_src_i, t_src_s, t_nblocks, values_panel, g)

@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 __all__ = ["flash_sparse_attention_fwd", "flash_sparse_bwd_dq",
            "flash_sparse_bwd_dkv", "flash_sparse_bwd_fused",
            "flash_sparse_ring_band_fwd", "flash_sparse_ring_band_bwd",
@@ -246,7 +248,7 @@ def flash_sparse_attention_fwd(
         ] * n_stat_outs,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(3 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 5 * bm * 128),
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, pmask)
@@ -390,7 +392,7 @@ def flash_sparse_bwd_fused(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 2 * bm * 128),
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
@@ -512,7 +514,7 @@ def flash_sparse_bwd_dq(
         out_shape=jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(2 * bm * hd_pad, 6 * bk * hd_pad, bm * bk, 2 * bm * 128),
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
@@ -623,7 +625,8 @@ def flash_sparse_bwd_dkv(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 2 * bm * 128,
+                4 * kb * bk * hd_pad),
         ),
         interpret=interpret,
     )(t_src_i, t_nblocks, t_mask_slot, t_is_partial, q, k, v, g, stats,
@@ -753,7 +756,7 @@ def flash_sparse_ring_band_fwd(
         input_output_aliases={8: 0, 9: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 4 * bm * 128),
         ),
         interpret=interpret,
     )(band, block_cols, nblocks, mask_slot, is_partial, q, k, v,
@@ -894,7 +897,8 @@ def flash_sparse_ring_band_bwd(
         input_output_aliases={11: 0, 12: 1, 13: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(5 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 4 * bm * 128,
+                4 * kb * bk * hd_pad),
         ),
         interpret=interpret,
     )(band, block_cols, nblocks, mask_slot, is_partial, q, k, v, g,

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 from .bsr_spmm_int8 import _quant_tile
 
 __all__ = ["flash_sparse_attention_fwd_int8",
@@ -172,7 +174,7 @@ def flash_sparse_attention_fwd_int8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(3 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 5 * bm * 128),
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, pmask)
@@ -281,7 +283,7 @@ def flash_sparse_bwd_dq_int8(
         out_shape=jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 2 * bm * 128),
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
@@ -407,7 +409,7 @@ def flash_sparse_bwd_dkv_int8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(2 * bm * hd_pad, 6 * bk * hd_pad, bm * bk, 2 * bm * 128),
         ),
         interpret=interpret,
     )(t_src_i, t_nblocks, t_mask_slot, t_is_partial, q, k, v, g, stats,

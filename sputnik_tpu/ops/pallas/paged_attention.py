@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 from .decode_attention import QPAD
 from .ragged_append import SUB
 
@@ -176,7 +178,7 @@ def paged_attention_kernel(
         out_shape=jax.ShapeDtypeStruct((R, QPAD, hd_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=_vm(3 * QPAD * hd_pad, 2 * bk * hd_pad, 4 * QPAD * 128),
         ),
         interpret=interpret,
     )(tbl, logical, valid, kv_len, q, k_pool, v_pool, k_scale, v_scale)

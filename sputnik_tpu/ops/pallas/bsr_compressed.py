@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .._common import vmem_request as _vm
+
 __all__ = ["bsr_spmm_panel_c", "bsr_spmm_t_panel_c", "bsr_sddmm_panel_c",
            "c_softmax_stats", "c_softmax_apply"]
 
@@ -90,6 +92,7 @@ def bsr_spmm_panel_c(
         out_shape=jax.ShapeDtypeStruct((mb * bm, n_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_vm(bm * bk, bk * bn, 2 * bm * bn),
         ),
         interpret=interpret,
     )(block_offsets, block_cols, values, dense, bias)
@@ -149,6 +152,7 @@ def bsr_spmm_t_panel_c(
         out_shape=jax.ShapeDtypeStruct((kb * bk, q_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_vm(bm * bk, bm * bq, 2 * bk * bq),
         ),
         interpret=interpret,
     )(t_gblk, t_rows, t_nblocks, values, g)
@@ -235,6 +239,7 @@ def bsr_sddmm_panel_c(
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vm(bm * bd, bk * bd, 3 * bm * bk),
         ),
         interpret=interpret,
     )(block_offsets, block_cols, lhs, rhs, mask)

@@ -254,3 +254,39 @@ def test_autotune_cached_best_readonly(tmp_path, monkeypatch):
     from sputnik_tpu.models.moe import _bank_tiles
     assert _bank_tiles(topo, 8) == (128, 128)
     autotune._memo["data"] = None
+
+
+def test_elastic_recovers_from_mid_run_failure(tmp_path):
+    """run_elastic: a step that blows up mid-run rolls back to the last
+    checkpoint and the loop completes with the same result as a clean
+    run; restart budget and failure accounting enforced."""
+    from sputnik_tpu.utils.elastic import (device_healthy, run_elastic)
+
+    assert device_healthy(timeout_s=60.0)  # CPU backend: trivially alive
+
+    calls = {"n": 0}
+
+    def step(state, t):
+        calls["n"] += 1
+        if t == 7 and calls["n"] == 8:      # fail ONCE at step 7
+            raise RuntimeError("injected device loss")
+        return {"w": state["w"] + jnp.ones_like(state["w"]) * (t + 1)}
+
+    s0 = {"w": jnp.zeros((4,), jnp.float32)}
+    res = run_elastic(step, s0, 10, checkpoint_every=5,
+                      checkpoint_dir=str(tmp_path / "a"), max_restarts=2)
+    assert res.step == 10 and res.restarts == 1
+    assert len(res.failures) == 1 and "injected" in res.failures[0][1]
+    # clean-run equivalence: sum of 1..10
+    np.testing.assert_allclose(np.asarray(res.state["w"]),
+                               np.full(4, 55.0))
+
+    # exhausted budget re-raises
+    def always_fail(state, t):
+        if t == 2:
+            raise RuntimeError("hard down")
+        return state
+
+    with pytest.raises(RuntimeError):
+        run_elastic(always_fail, s0, 5, checkpoint_every=2,
+                    checkpoint_dir=str(tmp_path / "b"), max_restarts=1)

@@ -97,5 +97,8 @@ def vmem_request(*block_elems: int, itemsize: int = 4) -> int:
     only (the r4 MoE OOM class). Pass the per-block ELEMENT counts of
     the kernel's inputs, outputs, and scratches.
     """
-    mb_ = (2 * itemsize * sum(block_elems)) // (1024 * 1024) + 8
+    # 2.5x covers double buffering plus Mosaic's own stack/spill slop —
+    # 2.0x measured 3 MB short on the fused backward's (1024,1024)
+    # tiles on hardware (scoped-vmem OOM at 35.05 vs a 32 MB request)
+    mb_ = int(2.5 * itemsize * sum(block_elems)) // (1024 * 1024) + 12
     return max(32, min(100, mb_)) * 1024 * 1024

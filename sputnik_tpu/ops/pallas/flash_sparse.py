@@ -392,7 +392,9 @@ def flash_sparse_bwd_fused(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 2 * bm * 128),
+            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad,
+                                 bm * bk, 2 * bm * 128,
+                                 4 * kb * bk * hd_pad),
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
@@ -514,7 +516,8 @@ def flash_sparse_bwd_dq(
         out_shape=jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_vm(2 * bm * hd_pad, 6 * bk * hd_pad, bm * bk, 2 * bm * 128),
+            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad,
+                                 bm * bk, 2 * bm * 128),
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, g, stats,
@@ -625,8 +628,8 @@ def flash_sparse_bwd_dkv(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=_vm(4 * bm * hd_pad, 2 * bk * hd_pad, bm * bk, 2 * bm * 128,
-                4 * kb * bk * hd_pad),
+            vmem_limit_bytes=_vm(2 * bm * hd_pad, 6 * bk * hd_pad,
+                                 bm * bk, 2 * bm * 128),
         ),
         interpret=interpret,
     )(t_src_i, t_nblocks, t_mask_slot, t_is_partial, q, k, v, g, stats,

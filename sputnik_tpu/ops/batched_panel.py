@@ -368,8 +368,22 @@ def _spmm_t_impl(spec, panels, g_r):
     """A_r^T @ G_r: panels [R, *] x g [R, m_pad, q_pad] -> [R, n, q]."""
     q = g_r.shape[-1]
     if _use_kernels():
-        bq = 512 if q >= 512 else 128
-        q_pad = _round_up(max(q, 1), bq)
+        # same restream economics as _spmm_impl: every output-column
+        # tile rewalks the panel, so take the widest VMEM-fitting
+        # divisor of the 128-padded width
+        q_pad = _round_up(max(q, 1), 128)
+        bq = 128
+        if q >= 512:
+            budget = 48 * 1024 * 1024
+            cand = q_pad
+            while cand >= 512:
+                ws = ((spec.bm + spec.bk) * cand * 4 * 2
+                      + spec.bm * spec.bk * 4 * 2)
+                if q_pad % cand == 0 and ws <= budget:
+                    break
+                cand -= 128
+            bq = max(cand, 512)
+        q_pad = _round_up(q_pad, bq)
         g_p = _pad_rows(spec, g_r, spec.m_pad, q_pad)
         out = _k_spmm_t_bh(
             _meta_dev(spec)["t_src_i"],

@@ -246,14 +246,14 @@ def _int8_fwd_stats(spec, q, k, v, scale):
     q_p = _pad(spec, q * scale, spec.m_pad, hd_pad)
     k_p = _pad(spec, k, spec.n_pad, hd_pad)
     v_p = _pad(spec, v, spec.n_pad, hd_pad)
-    out, m, l = fsi.flash_sparse_attention_fwd_int8(
+    out, stats = fsi.flash_sparse_attention_fwd_int8(
         meta["block_cols"], meta["nblocks"], meta["mask_slot"],
         meta["is_partial"], meta["pmask"],
         q_p, k_p, v_p,
         R=R, heads=spec.heads, mb=spec.mb,
         max_bpr=int(meta["max_bpr"]), bm=int(meta["bm"]),
         bk=int(meta["bk"]), interpret=_interp())
-    return out, m, l, (q_p, k_p, v_p)
+    return out, stats, (q_p, k_p, v_p)
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -267,15 +267,15 @@ def _attn_i8t_fwd(spec, scale, q, k, v):
         from .fused_attention import fused_sparse_attention
 
         out = fused_sparse_attention(spec, q, k, v, scale=scale)
-        return out, (q, k, v, None, None, None)
-    out_p, m, l, padded = _int8_fwd_stats(spec, q, k, v, scale)
+        return out, (q, k, v, None, None)
+    out_p, stats, padded = _int8_fwd_stats(spec, q, k, v, scale)
     s, hd = q.shape[1], q.shape[2]
     q_p, k_p, v_p = padded
-    return out_p[:, :s, :hd], (q_p, k_p, v_p, out_p, m, l)
+    return out_p[:, :s, :hd], (q_p, k_p, v_p, out_p, stats)
 
 
 def _attn_i8t_bwd(spec, scale, res, g):
-    q_p, k_p, v_p, out_p, stats_m, stats_l = res
+    q_p, k_p, v_p, out_p, stats = res
     if out_p is None:  # oracle path: q_p/k_p/v_p hold the raw operands
         from .fused_attention import fused_sparse_attention
 
@@ -291,9 +291,7 @@ def _attn_i8t_bwd(spec, scale, res, g):
     meta = _flash_bwd_meta(spec)
     g_p = _pad(spec, g, spec.m_pad, _hd_pad(max(hd, 1)))
 
-    stats = jnp.concatenate(
-        [stats_m[:, :, :1], stats_l[:, :, :1],
-         jnp.zeros((R, spec.m_pad, 126), jnp.float32)], axis=2)
+    # stats arrive pre-packed (lane 0 = max, lane 1 = denom)
     d_rows = jnp.sum(g_p * out_p, axis=-1)               # [R, m_pad]
     dcoef = jnp.broadcast_to(d_rows[:, :, None], (R, spec.m_pad, 128))
 
@@ -360,6 +358,6 @@ def attention_int8(spec, q, k, v, scale=None):
         from .fused_attention import fused_sparse_attention
 
         return fused_sparse_attention(spec, q, k, v, scale=scale)
-    out, _, _, _ = _int8_fwd_stats(spec, q, k, v, scale)
+    out, _, _ = _int8_fwd_stats(spec, q, k, v, scale)
     s, hd = q.shape[1], q.shape[2]
     return out[:, :s, :hd]

@@ -69,13 +69,15 @@ def flash_sparse_attention_fwd_int8(
     bk: int,
     interpret: bool = False,
 ):
-    """Returns ``(out [R, mb*bm, hd_pad], row_max [R, mb*bm, 128],
-    row_denom [R, mb*bm, 128])`` (f32; stats feed the int8 backward)."""
+    """Returns ``(out [R, mb*bm, hd_pad], stats [R, mb*bm, 128])`` —
+    stats PACKED with the running max in lane 0 and the denominator in
+    lane 1, the exact backward operand layout (same convention as the
+    f32 forward's ``packed_stats=True``)."""
     hd_pad = q.shape[-1]
 
     def kernel(cols_ref, nblk_ref, slot_ref, part_ref,
                q_ref, k_ref, v_ref, pm_ref,
-               o_ref, m_ref, l_ref,
+               o_ref, st_ref,
                acc, m_scr, l_scr, q_i8, q_sc):
         i, s = pl.program_id(1), pl.program_id(2)
         r = pl.program_id(0)
@@ -129,11 +131,14 @@ def flash_sparse_attention_fwd_int8(
         def _():
             denom = jnp.maximum(l_scr[:, :1], 1e-30)
             o_ref[0] = acc[:] / denom
-            m_ref[0] = jnp.broadcast_to(m_scr[:, :1], m_ref[0].shape)
-            l_ref[0] = jnp.broadcast_to(l_scr[:, :1], l_ref[0].shape)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bm, 128), 1)
+            m_b = jnp.broadcast_to(m_scr[:, :1], (bm, 128))
+            l_b = jnp.broadcast_to(l_scr[:, :1], (bm, 128))
+            st_ref[0] = jnp.where(lane == 0, m_b,
+                                  jnp.where(lane == 1, l_b, 0.0))
 
     grid = (R, mb, max_bpr)
-    out, row_max, row_denom = pl.pallas_call(
+    out, stats = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -157,7 +162,6 @@ def flash_sparse_attention_fwd_int8(
             out_specs=[
                 pl.BlockSpec((1, bm, hd_pad), lambda r, i, s, *p: (r, i, 0)),
                 pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
-                pl.BlockSpec((1, bm, 128), lambda r, i, s, *p: (r, i, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bm, hd_pad), jnp.float32),
@@ -170,7 +174,6 @@ def flash_sparse_attention_fwd_int8(
         out_shape=[
             jax.ShapeDtypeStruct((R, mb * bm, hd_pad), jnp.float32),
             jax.ShapeDtypeStruct((R, mb * bm, 128), jnp.float32),
-            jax.ShapeDtypeStruct((R, mb * bm, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -178,7 +181,7 @@ def flash_sparse_attention_fwd_int8(
         ),
         interpret=interpret,
     )(block_cols, nblocks, mask_slot, is_partial, q, k, v, pmask)
-    return out, row_max, row_denom
+    return out, stats
 
 
 @functools.partial(jax.jit, static_argnames=(

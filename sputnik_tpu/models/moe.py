@@ -233,15 +233,27 @@ class SparseMoE(nn.Module):
             bt_ = self.bank_tiles or (0, 0)
             s1 = _bank_spec(self.topo_in, n_exp, *bt_)
             s2 = _bank_spec(self.topo_out, n_exp, *bt_)
-            xin = jnp.einsum("tec,th->ehc", disp, xflat)   # [E', h, C]
             if stream is not None:
+                # the dispatch one-hot is EXACT in bf16 (0/1 entries);
+                # streaming it + x halves the dispatch matmul's traffic
+                # and doubles its MXU rate, f32 accumulate as everywhere
+                disp_s = disp.astype(stream)
+                xin = jnp.einsum("tec,th->ehc", disp_s,
+                                 xflat.astype(stream),
+                                 preferred_element_type=jnp.float32)
                 p1, p2 = p1.astype(stream), p2.astype(stream)
                 xin = xin.astype(stream)
+            else:
+                xin = jnp.einsum("tec,th->ehc", disp, xflat)
             y1 = bp.spmm_bh(s1, p1, xin)                   # [E', f, C]
             a1 = self._act(y1)
             if stream is not None:
                 a1 = a1.astype(stream)
             y2 = bp.spmm_bh(s2, p2, a1)                    # [E', h, C]
+            if stream is not None:
+                return jnp.einsum("tec,ehc->th", comb.astype(stream),
+                                  y2.astype(stream),
+                                  preferred_element_type=jnp.float32)
             return jnp.einsum("tec,ehc->th", comb,
                               y2.astype(xflat.dtype))      # [T, h]
 

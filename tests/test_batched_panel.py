@@ -83,3 +83,43 @@ def test_transformer_panel_layout_matches_csr_layout():
                                 layout="csr").apply({}, q, k, v)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_c),
                                atol=1e-4)
+
+
+def test_wide_output_tile_divisor_parity():
+    """The widest-VMEM-fitting-divisor output tiles (r5) must stay exact
+    for awkward widths (non-power-of-two, prime*128, > VMEM-fitting)."""
+    rng = np.random.RandomState(0)
+    m = n = 256
+    topo = st.SparseTopology.from_dense_mask(
+        (rng.rand(m, n) < 0.3).astype(np.float32))
+    spec = bp.BatchedPanelSpec([topo], heads=2, bm=128, bk=128)
+    vals = [rng.randn(topo.nnz_pad).astype(np.float32) for _ in range(2)]
+    panels = jnp.asarray(spec.stack_values(np.stack(vals)))
+    A = np.zeros((m, n), np.float32)
+    A[topo.row_ids[:topo.nnz], topo.column_indices[:topo.nnz]] = \
+        vals[0][:topo.nnz]
+    B = np.zeros((m, n), np.float32)
+    B[topo.row_ids[:topo.nnz], topo.column_indices[:topo.nnz]] = \
+        vals[1][:topo.nnz]
+
+    st.set_backend("pallas")
+    try:
+        for q in (512, 640, 896, 1280, 1664):   # 5x128, 7x128, 13x128...
+            dense = jnp.asarray(
+                rng.randn(2, n, q).astype(np.float32))
+            out = bp.spmm_bh(spec, panels, dense)
+            np.testing.assert_allclose(
+                np.asarray(out)[0], A @ np.asarray(dense)[0], atol=1e-3,
+                err_msg=f"q={q}")
+            np.testing.assert_allclose(
+                np.asarray(out)[1], B @ np.asarray(dense)[1], atol=1e-3,
+                err_msg=f"q={q}")
+            # transposed walk at the same widths
+            g = jnp.asarray(rng.randn(2, m, q).astype(np.float32))
+            gt = jax.grad(lambda d: jnp.sum(
+                bp.spmm_bh(spec, panels, d) * g))(dense)
+            ref0 = A.T @ np.asarray(g)[0]
+            np.testing.assert_allclose(np.asarray(gt)[0], ref0,
+                                       atol=1e-3, err_msg=f"gT q={q}")
+    finally:
+        st.set_backend("auto")

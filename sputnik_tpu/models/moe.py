@@ -201,9 +201,17 @@ class SparseMoE(nn.Module):
         # r4 MoE section). The expert bank is one batched-panel op per
         # projection: experts = the replica axis of ``ops/batched_panel``
         # sharing one topology's metadata.
-        bt = self.bank_tiles or (0, 0)
-        spec_in = _bank_spec(self.topo_in, E, *bt)
-        spec_out = _bank_spec(self.topo_out, E, *bt)
+        # Resolve the kernel tiles ONCE, with the param-owning expert
+        # count E: the autotune-backed table is n_rep-dependent, so
+        # letting the ep-local path re-decide with n_loc could pick
+        # different tiles than the params were created with (panel-shape
+        # mismatch on TPU with a populated cache)
+        def _tiles(topo):
+            return self.bank_tiles or _bank_tiles(topo, E)
+
+        bt_in, bt_out = _tiles(self.topo_in), _tiles(self.topo_out)
+        spec_in = _bank_spec(self.topo_in, E, *bt_in)
+        spec_out = _bank_spec(self.topo_out, E, *bt_out)
         init_in = PA.panel_kaiming_values(self.topo_in, spec_in.bm,
                                           spec_in.bk)
         init_out = PA.panel_kaiming_values(self.topo_out, spec_out.bm,
@@ -229,10 +237,10 @@ class SparseMoE(nn.Module):
                   if _c.on_tpu() and h >= 512 and f >= 512 else None)
 
         def expert_bank(disp, comb, p1, p2, xflat, n_exp):
-            """[T,E',C] dispatch over E' (possibly local) experts."""
-            bt_ = self.bank_tiles or (0, 0)
-            s1 = _bank_spec(self.topo_in, n_exp, *bt_)
-            s2 = _bank_spec(self.topo_out, n_exp, *bt_)
+            """[T,E',C] dispatch over E' (possibly local) experts —
+            the tiles stay the E-resolved ones above."""
+            s1 = _bank_spec(self.topo_in, n_exp, *bt_in)
+            s2 = _bank_spec(self.topo_out, n_exp, *bt_out)
             if stream is not None:
                 # the dispatch one-hot is EXACT in bf16 (0/1 entries);
                 # streaming it + x halves the dispatch matmul's traffic

@@ -81,6 +81,30 @@ def flash_tiles(s: int, flash_block: int = 1024, flash_block_k: int = 0):
     return bm, max(128, bk)
 
 
+def dense_masks_for(mt: mm.ManyMaskTopology):
+    """Dense ``[b, s, s]`` 0/1 masks for the ``xla`` layout,
+    reconstructed from the topologies once and device-cached on the
+    mask object (only outside a trace — a trace-created array would be
+    trace-local; inside one the numpy constant is used, baking a
+    per-trace HLO constant). jit-only callers should warm eagerly:
+    ``SparseTransformer.from_masks`` does it for sub-crossover masks,
+    the first eager ``__call__`` covers the rest."""
+    np_m = getattr(mt, "_dense_masks_np", None)
+    if np_m is None:
+        np_m = np.stack([t.to_dense_mask() for t in mt.topologies]
+                        ).astype(np.float32)
+        object.__setattr__(mt, "_dense_masks_np", np_m)
+    dev = getattr(mt, "_dense_masks_dev", None)
+    if dev is not None:
+        return dev
+    from ..ops._common import trace_clean
+
+    arr = jnp.asarray(np_m)
+    if trace_clean():
+        object.__setattr__(mt, "_dense_masks_dev", arr)
+    return arr
+
+
 def cached_batched_spec(mt: mm.ManyMaskTopology, heads: int, bm: int,
                         bk: int) -> bp.BatchedPanelSpec:
     """The ``(heads, bm, bk)``-keyed ``BatchedPanelSpec`` cache attached
@@ -126,25 +150,7 @@ class SparseCoreAttention(nn.Module):
                                    bm, bk)
 
     def _dense_masks(self):
-        """Dense ``[b, s, s]`` 0/1 masks for the ``xla`` layout,
-        reconstructed from the topologies once and device-cached on the
-        mask object (only outside a trace — a trace-created array would
-        be trace-local; inside one the numpy constant is used)."""
-        mt = self.mask_topology
-        np_m = getattr(mt, "_dense_masks_np", None)
-        if np_m is None:
-            np_m = np.stack([t.to_dense_mask() for t in mt.topologies]
-                            ).astype(np.float32)
-            object.__setattr__(mt, "_dense_masks_np", np_m)
-        dev = getattr(mt, "_dense_masks_dev", None)
-        if dev is not None:
-            return dev
-        from ..ops._common import trace_clean
-
-        arr = jnp.asarray(np_m)
-        if trace_clean():
-            object.__setattr__(mt, "_dense_masks_dev", arr)
-        return arr
+        return dense_masks_for(self.mask_topology)
 
     def __call__(self, q, k, v):
         """q: ``[b, s, heads, head_dim]``; k, v: same, or with fewer
@@ -239,7 +245,8 @@ class SparseCoreAttention(nn.Module):
             spec = self._panel_spec(bm=blk, bk=blk_k)
             # device-place the flash metadata on the first eager call so
             # traced steps don't bake it into their compile payload
-            warm_flash_meta(spec)
+            # (hd selects fused-vs-two-kernel backward warming)
+            warm_flash_meta(spec, hd=hd)
             ctx = fused_sparse_attention(spec, q3, k3, v3, scale=scale,
                                          group=group)
         elif layout == "panel":
@@ -423,8 +430,18 @@ class SparseTransformer(nn.Module):
     def from_masks(cls, masks: np.ndarray, **kwargs) -> "SparseTransformer":
         """Build with per-batch dense 0/1 masks ``[b, s, s]`` (converted to
         CSR once, here — not per step)."""
-        return cls(mask_topology=mm.ManyMaskTopology.from_dense_masks(masks),
-                   **kwargs)
+        mt = mm.ManyMaskTopology.from_dense_masks(masks)
+        if (masks.shape[1] < _XLA_FLASH_CROSSOVER
+                and kwargs.get("attention_layout", "flash")
+                in ("auto", "xla")):
+            # device-place the dense masks EAGERLY: a jit-only caller
+            # would otherwise bake a [b, s, s] constant into every
+            # compiled program (the remote-compile payload class)
+            from ..ops._common import trace_clean
+
+            if trace_clean():
+                dense_masks_for(mt)
+        return cls(mask_topology=mt, **kwargs)
 
     @nn.compact
     def __call__(self, x):

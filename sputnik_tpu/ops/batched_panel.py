@@ -36,14 +36,10 @@ __all__ = ["BatchedPanelSpec", "spmm_bh", "sddmm_bh", "sparse_softmax_bh"]
 
 _NEG_LARGE = -1e30
 
-# Scoped-VMEM request for the batched kernels. 100 MB was applied
-# blanket in r4 for the MoE bank's big tiles (16 MB default rejected
-# them on hardware); measured r5: the request size changes Mosaic's
-# scheduling, so it is now a per-call static arg — big-tile calls ask
-# big, small-tile calls keep the lean request.
-def _vmem_for(*tile_elems) -> int:
-    need = 8 * sum(tile_elems)          # double-buffered f32 blocks
-    return max(32, min(100, need // (1024 * 1024) + 8)) * 1024 * 1024
+# Scoped-VMEM request for the batched kernels: size to the working set
+# (r5 — a blanket 100 MB request measured 1.8x slower on small-tile
+# grids). One sizing formula for the whole codebase: _common.
+from ._common import vmem_request as _vmem_for
 
 
 class BatchedPanelSpec:

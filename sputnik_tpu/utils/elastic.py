@@ -121,9 +121,17 @@ def run_elastic(
             if on_failure is not None:
                 on_failure(t, e)
             restarts += 1
-            if restarts > max_restarts or not device_healthy(
-                    health_timeout_s):
+            if restarts > max_restarts:
                 raise
+            # a failed probe consumes further restart budget (bounded
+            # waits) instead of aborting: the documented tunnel-wedge
+            # mode recovers within minutes, which is exactly what the
+            # budget is for
+            while not device_healthy(health_timeout_s):
+                restarts += 1
+                failures.append((t, "health probe timeout"))
+                if restarts > max_restarts:
+                    raise
             blob = ckpt.restore_checkpoint(
                 path, like={"state": state, "step": 0})
             state, t = blob["state"], int(blob["step"])

@@ -376,3 +376,45 @@ def test_moe_lm_trains():
     gv = np.asarray(
         g["params"]["core"]["layer_1"]["mlp"]["w_in_values"])
     assert np.isfinite(gv).all() and np.abs(gv).sum() > 0
+
+
+def test_ep_bank_tiles_resolved_once_with_param_expert_count(monkeypatch):
+    """The kernel tiles must be resolved ONCE with the param-owning
+    expert count E: an n_rep-dependent tile table (the autotune-backed
+    path on TPU) must NOT let the ep-local compute pick different tiles
+    than the params were created with (panel-shape mismatch)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from sputnik_tpu.models import moe as moe_mod
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+
+    orig = moe_mod._bank_tiles
+
+    def tiles_by_nrep(topo, n_rep=0):
+        # adversarial: local expert counts get DIFFERENT tiles
+        return (16, 64) if n_rep >= 4 else (32, 128)
+
+    monkeypatch.setattr(moe_mod, "_bank_tiles", tiles_by_nrep)
+
+    rng = np.random.RandomState(0)
+    h, f, E = 64, 128, 4
+    ti = st.SparseTopology.from_dense_mask(
+        (rng.rand(f, h) < 0.4).astype(np.float32))
+    to = st.SparseTopology.from_dense_mask(
+        (rng.rand(h, f) < 0.4).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("ep",))
+    m = moe_mod.SparseMoE(topo_in=ti, topo_out=to, num_experts=E,
+                          mesh=mesh, axis="ep")
+    x = jnp.asarray(rng.randn(2, 8, h).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)          # would crash on a tile mismatch
+    assert np.isfinite(np.asarray(y)).all()
+
+    # parity with the unsharded module under the SAME tile table
+    m1 = moe_mod.SparseMoE(topo_in=ti, topo_out=to, num_experts=E)
+    y1 = m1.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y1), atol=1e-4)
+    monkeypatch.setattr(moe_mod, "_bank_tiles", orig)

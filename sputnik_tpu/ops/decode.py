@@ -324,6 +324,14 @@ def decode_block_table(kv_len, *, s_max: int, bk: int,
     ``S = sink_blocks + window_blocks`` (static). Window blocks that fall
     inside the sink range (or before block 0) are invalidated and clamped
     to the previous slot's id so their DMA is elided by the pipeline.
+
+    The window is BLOCK-granular (standard sliding-window-attention
+    practice): the last ``window_blocks`` whole ``bk``-token blocks are
+    attended, i.e. between ``window`` and ``window + bk - 1`` keys — NOT
+    an element-exact ``j > i - window`` cut. Greedy decodes therefore
+    match a banded-mask full forward block-wise, not token-exactly; an
+    element-exact banded structure trains/prefills through the flash
+    topologies instead.
     """
     nb = s_max // bk
     last = jnp.maximum((kv_len - 1) // bk, 0)                # [R]
